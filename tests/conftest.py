@@ -1,14 +1,22 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh with x64 enabled."""
+"""Test configuration: force the CPU backend with a virtual 8-device mesh, x64 on.
+
+Note: this environment's sitecustomize registers a remote TPU ("axon")
+backend at interpreter startup and sets JAX_PLATFORMS=axon, so we must
+override the config explicitly here -- os.environ alone is too late.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.devices()[0].platform == "cpu", f"tests must run on CPU, got {jax.devices()}"

@@ -1,0 +1,189 @@
+"""Solver-kernel tests: cross-strategy consistency and self-consistent quality maps.
+
+Mirrors the strategy of the reference tests/pyimcom/test_la.py: build an
+analytic Gaussian-overlap system where every kernel should agree.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyimcom_tpu.solvers import cholesky_solve, eigen_solve, empirical_weights, iterative_solve
+
+UCMIN = 1e-6
+SMAX = 0.5
+
+
+@pytest.fixture(scope="module")
+def system():
+    """Gaussian-overlap linear system: dithered input grids, gridded outputs.
+
+    Three dithered regular grids emulate overlapping exposures, giving dense
+    coverage so the leakage target is achievable (as in a real coadd).
+    """
+    rng = np.random.default_rng(42)
+    sig = 1.2  # PSF sigma in pixels
+    grids = []
+    for dx, dy in [(0.0, 0.0), (0.37, 0.22), (0.61, 0.71)]:
+        g1 = np.arange(0.5, 10.0, 0.8)
+        gx, gy = np.meshgrid(g1 + dx, g1 + dy)
+        grids.append(np.stack([gx.ravel(), gy.ravel()], axis=-1))
+    xin = np.concatenate(grids, axis=0)
+    xin += rng.normal(scale=0.01, size=xin.shape)
+    g = np.linspace(3.5, 6.5, 5)
+    xout = np.stack(np.meshgrid(g, g), axis=-1).reshape(-1, 2)
+
+    # overlap of two Gaussians of width sig separated by d:
+    #   integral = exp(-d^2 / (4 sig^2)) / (4 pi sig^2)
+    def ovl(p, q):
+        d2 = ((p[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+        return np.exp(-d2 / (4 * sig ** 2)) / (4 * np.pi * sig ** 2)
+
+    A = ovl(xin, xin)
+    mBhalf = ovl(xout, xin)[None]  # (1, m, n)
+    C = np.array([1.0 / (4 * np.pi * sig ** 2)])
+    dist = np.sqrt(((xout[:, None, :] - xin[None, :, :]) ** 2).sum(-1))
+    return (jnp.asarray(A), jnp.asarray(mBhalf), jnp.asarray(C), dist)
+
+
+def exact_quality(T, A, mBhalf, C):
+    """U/C and Sigma evaluated directly from a T matrix."""
+    D = np.einsum("oai,oai->oa", mBhalf, T)
+    E = np.einsum("ij,oai,oaj->oa", A, T, T)
+    N = np.einsum("oai,oai->oa", T, T)
+    return 1.0 + (E - 2 * D) / np.asarray(C)[:, None], N
+
+
+def test_cholesky_single_kappa_matches_direct_solve(system):
+    A, mBhalf, C, _ = system
+    kappaC = jnp.array([5e-4])
+    T, kappa, Sigma, UC = cholesky_solve(A, mBhalf, C, kappaC, UCMIN, SMAX)
+    An, Bn, Cn = np.asarray(A), np.asarray(mBhalf), np.asarray(C)
+    kap = 5e-4 * Cn[0]
+    want = np.linalg.solve(An + kap * np.eye(An.shape[0]), Bn[0].T).T
+    np.testing.assert_allclose(np.asarray(T[0]), want, rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(kappa), kap, rtol=1e-12)
+    # reported quality maps match the exact contraction
+    UC_exact, N_exact = exact_quality(np.asarray(T), An, Bn, Cn)
+    np.testing.assert_allclose(np.asarray(UC), UC_exact, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Sigma), N_exact, rtol=0, atol=1e-12)
+
+
+def test_eigen_single_matches_cholesky_single(system):
+    A, mBhalf, C, _ = system
+    kappaC = jnp.array([5e-4])
+    Tc, kc, Sc, Uc = cholesky_solve(A, mBhalf, C, kappaC, UCMIN, SMAX)
+    Te, ke, Se, Ue = eigen_solve(A, mBhalf, C, kappaC, UCMIN, SMAX)
+    np.testing.assert_allclose(np.asarray(Te), np.asarray(Tc), rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Se), np.asarray(Sc), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(Ue), np.asarray(Uc), rtol=0, atol=1e-10)
+
+
+def test_eigen_multi_kappa_bisection(system):
+    A, mBhalf, C, _ = system
+    kappaC = jnp.array([1e-5, 1e-4, 1e-3])
+    T, kappa, Sigma, UC = eigen_solve(A, mBhalf, C, kappaC, UCMIN, SMAX)
+    # kappa map within the node range (reference stores kappa*C^2 here)
+    kmin = 1e-5 * float(C[0]) ** 2 / np.sqrt(10)
+    kmax = 1e-3 * float(C[0]) ** 2 * np.sqrt(10)
+    assert np.all(np.asarray(kappa) >= kmin * 0.99)
+    assert np.all(np.asarray(kappa) <= kmax * 1.01)
+    # reported quality consistent with T
+    UC_exact, N_exact = exact_quality(np.asarray(T), np.asarray(A), np.asarray(mBhalf), np.asarray(C))
+    np.testing.assert_allclose(np.asarray(UC), UC_exact, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Sigma), N_exact, rtol=1e-7)
+    # with SMAX generous the bisection should drive leakage near/below target
+    assert np.median(np.asarray(UC)) < 10 * UCMIN
+
+
+def test_cholesky_multi_kappa_quality(system):
+    A, mBhalf, C, _ = system
+    kappaC = jnp.array([1e-5, 1e-4, 1e-3])
+    T, kappa, Sigma, UC = cholesky_solve(A, mBhalf, C, kappaC, UCMIN, SMAX)
+    # kappa within node envelope (units: kappaC * C)
+    karr = np.asarray(kappa) / float(C[0])
+    assert np.all(karr >= 1e-5 / np.sqrt(10) * 0.99)
+    assert np.all(karr <= 1e-3 * np.sqrt(10) * 1.01)
+    # node-blended T must satisfy its own reported quality to high accuracy
+    UC_exact, N_exact = exact_quality(np.asarray(T), np.asarray(A), np.asarray(mBhalf), np.asarray(C))
+    np.testing.assert_allclose(np.asarray(UC), UC_exact, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Sigma), N_exact, rtol=1e-6)
+
+
+def test_cholesky_vs_eigen_multi_consistency(system):
+    """Cross-kernel consistency, cf. reference test_pyimcom.py:953-959 (<5e-6)."""
+    A, mBhalf, C, _ = system
+    kappaC = jnp.array([1e-5, 1e-4, 1e-3])
+    Tc, _, _, Uc = cholesky_solve(A, mBhalf, C, kappaC, UCMIN, SMAX)
+    Te, _, _, Ue = eigen_solve(A, mBhalf, C, kappaC, UCMIN, SMAX)
+    # coadd a smooth scene (star through the input PSF) -- the observable the
+    # reference compares across kernels; white noise would instead expose the
+    # benign per-pixel kappa differences.
+    xin_star = np.asarray(mBhalf)  # not used; keep scene independent
+    sig = 1.2
+    rngs = np.random.default_rng(9)
+    # reconstruct input positions from A is not possible; use any smooth data
+    # vector in the range of the PSF overlap operator:
+    data = np.asarray(mBhalf)[0, 12, :] / np.asarray(mBhalf)[0, 12, :].max()
+    img_c = np.asarray(Tc[0]) @ data
+    img_e = np.asarray(Te[0]) @ data
+    assert np.std(img_c - img_e) < 5e-6
+    assert np.max(np.abs(np.asarray(Uc) - np.asarray(Ue))) < 1e-8
+
+
+def test_iterative_full_mask_matches_cholesky(system):
+    A, mBhalf, C, _ = system
+    kappaC = jnp.array([5e-4])
+    mask = jnp.ones(mBhalf.shape[1:], dtype=bool)
+    Ti, ki, Si, Ui = iterative_solve(A, mBhalf, C, kappaC, mask, 1e-12, UCMIN, SMAX,
+                                     maxiter=300, exact_UC=True)
+    Tc, kc, Sc, Uc = cholesky_solve(A, mBhalf, C, kappaC, UCMIN, SMAX)
+    # CG at rtol=1e-12 on this redundant (ill-conditioned) system converges
+    # T to ~1e-5 absolute; the quality maps agree much more tightly.
+    np.testing.assert_allclose(np.asarray(Ti), np.asarray(Tc), rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(Ui), np.asarray(Uc), rtol=0, atol=1e-7)
+
+
+def test_iterative_masked_solves_submatrix(system):
+    A, mBhalf, C, dist = system
+    kappaC = jnp.array([5e-4])
+    mask_np = dist < 4.0
+    # ensure every output pixel keeps some inputs
+    assert mask_np.any(axis=1).all()
+    T, _, _, _ = iterative_solve(A, mBhalf, C, kappaC, jnp.asarray(mask_np), 1e-12,
+                                 UCMIN, SMAX, maxiter=300, exact_UC=False)
+    Tn = np.asarray(T[0])
+    # masked-out entries must be exactly zero
+    assert np.all(Tn[~mask_np] == 0.0)
+    # each pixel's solution equals the dense solve of its extracted subsystem
+    An, Bn, Cn = np.asarray(A), np.asarray(mBhalf)[0], np.asarray(C)
+    kap = 5e-4 * Cn[0]
+    for a in [0, 7, 24]:
+        sel = np.nonzero(mask_np[a])[0]
+        sub = np.linalg.solve(An[np.ix_(sel, sel)] + kap * np.eye(len(sel)), Bn[a, sel])
+        np.testing.assert_allclose(Tn[a, sel], sub, rtol=0, atol=1e-8)
+
+
+def test_empirical_rows_normalized(system):
+    A, mBhalf, C, dist = system
+    kappaC = jnp.array([5e-4])
+    T, kappa, Sigma, UC = empirical_weights(A, mBhalf, C, kappaC, jnp.asarray(dist), 6.0)
+    np.testing.assert_allclose(np.asarray(T[0]).sum(axis=-1), 1.0, atol=1e-12)
+    UC_exact, N_exact = exact_quality(np.asarray(T), np.asarray(A), np.asarray(mBhalf), np.asarray(C))
+    np.testing.assert_allclose(np.asarray(UC), UC_exact, rtol=0, atol=1e-10)
+
+
+def test_padding_neutrality(system):
+    """Zero-padded coordinates (A diag 1, B cols 0) must not change results."""
+    A, mBhalf, C, _ = system
+    kappaC = jnp.array([1e-5, 1e-4, 1e-3])
+    n = A.shape[0]
+    npad = n + 17
+    Ap = jnp.eye(npad, dtype=A.dtype).at[:n, :n].set(A)
+    Bp = jnp.zeros((1, mBhalf.shape[1], npad), dtype=mBhalf.dtype).at[:, :, :n].set(mBhalf)
+    T0, k0, S0, U0 = cholesky_solve(A, mBhalf, C, kappaC, UCMIN, SMAX)
+    T1, k1, S1, U1 = cholesky_solve(Ap, Bp, C, kappaC, UCMIN, SMAX)
+    np.testing.assert_allclose(np.asarray(T1[:, :, :n]), np.asarray(T0), rtol=0, atol=1e-10)
+    assert np.max(np.abs(np.asarray(T1[:, :, n:]))) < 1e-14
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U0), rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S0), rtol=0, atol=1e-10)
