@@ -1,0 +1,1100 @@
+"""
+Block coaddition driver.
+
+Counterpart of reference src/pyimcom/coadd.py (InImage/InStamp/OutStamp/
+Block).  The host orchestrates geometry, caching, and I/O; every hot
+numerical step -- PSF sampling, FFT overlaps, system-matrix interpolation,
+and the T solves -- runs on device through the modules in ops/, psfgrp, and
+solvers.
+
+Processing layout (mirrors the reference's two-pass scheme,
+coadd.py:2003-2081): a simulation pass counts references to PSF groups,
+overlap stacks, and A submatrices; the real pass computes them on demand and
+frees each object when its count reaches zero, bounding memory.
+
+Solver calls use bucketed zero-padding (n rounded up to a multiple of 128)
+so XLA compiles one program per bucket instead of one per stamp.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from itertools import combinations, product
+from os.path import exists
+
+import numpy as np
+
+from .config import Config, Settings as Stn, Timer
+from .fitsio import HDUList, Header, ImageHDU, TableHDU, fits_read, fits_write
+from .layer import Mask, check_if_idsca_exists, get_all_data, get_sca_imagefile
+from .ops import psfmodels
+from .psfgrp import (
+    PSFGeometry,
+    PSFGroup,
+    build_overlap_stack,
+    interp_io_submatrix,
+    interp_submatrix,
+    outpsf_C_values,
+    sample_psf_rotated,
+    sample_psf_unrotated,
+)
+from .wcsutil import WCS, make_block_wcs
+
+SOLVE_BUCKET = 128
+
+
+def trapezoid(arr, fade_kernel, recover_mode=False, pad_widths=(0, 0, 0, 0),
+              do_sides="BTLR", use_trunc_sinc=True):
+    """
+    In-place trapezoid cross-fade over 2*fade_kernel transition rows/columns
+    on each requested side (reference OutStamp.trapezoid, coadd.py:1221-1292).
+    """
+    fk2 = fade_kernel * 2
+    if fk2 <= 0:
+        return
+    ny, nx = arr.shape[-2:]
+    pb, pt, pl, pr = pad_widths
+    it, ir = ny - pt - 1, nx - pr - 1
+
+    s = np.arange(1, fk2 + 1, dtype=np.float64) / (fk2 + 1)
+    if use_trunc_sinc:
+        s -= np.sin(2 * np.pi * s) / (2 * np.pi)
+    sT = s[:, None]
+
+    if not recover_mode:
+        if "B" in do_sides:
+            arr[..., pb:pb + fk2, :] *= sT
+        if "T" in do_sides:
+            arr[..., it:it - fk2 if it - fk2 >= 0 else None:-1, :] *= sT
+        if "L" in do_sides:
+            arr[..., :, pl:pl + fk2] *= s
+        if "R" in do_sides:
+            arr[..., :, ir:ir - fk2 if ir - fk2 >= 0 else None:-1] *= s
+    else:
+        if "B" in do_sides:
+            arr[..., pb:pb + fk2, :] /= sT
+        if "T" in do_sides:
+            arr[..., it:it - fk2 if it - fk2 >= 0 else None:-1, :] /= sT
+        if "L" in do_sides:
+            arr[..., :, pl:pl + fk2] /= s
+        if "R" in do_sides:
+            arr[..., :, ir:ir - fk2 if ir - fk2 >= 0 else None:-1] /= s
+
+
+def compress_map(map_, coef, dtype):
+    """Log-quantize a float map to (u)int16 (reference coadd.py:2086-2138)."""
+    if dtype == np.uint16:
+        a_min, a_max = 0, 65535
+    else:
+        a_min, a_max = -32768, 32767
+    return np.clip(np.floor(coef * np.log10(np.clip(map_, 1e-32, None)) + 0.5),
+                   a_min, a_max).astype(dtype)
+
+
+class InImage:
+    """One input exposure/SCA: WCS, pixel partition, layers, PSF access."""
+
+    def __init__(self, blk: "Block", idsca):
+        self.blk = blk
+        self.idsca = idsca
+        self.exists_, self.infile = check_if_idsca_exists(blk.cfg, blk.obsdata, idsca)
+        self.is_relevant = False
+        if self.exists_:
+            hdus = fits_read(self.infile)
+            # WCS from whichever HDU carries it (primary or SCI)
+            hdr = None
+            for h in hdus:
+                if "CTYPE1" in h.header:
+                    hdr = h.header
+                    break
+            if hdr is None:
+                raise ValueError(f"no WCS found in {self.infile}")
+            self.inwcs = WCS.from_header(hdr)
+        self._psf_cache = {}
+
+    # ----- geometry ---------------------------------------------------------
+
+    def inpix2world2outpix(self, inxys):
+        """(N, 2) input pixels -> output block pixels."""
+        ra, dec = self.inwcs.pix2world(inxys[:, 0], inxys[:, 1])
+        x, y = self.blk.outwcs.world2pix(ra, dec)
+        return np.stack([x, y], axis=-1)
+
+    def outpix2world2inpix(self, outxys):
+        """(N, 2) output block pixels -> input pixels."""
+        outxys = np.asarray(outxys, dtype=np.float64)
+        ra, dec = self.blk.outwcs.pix2world(outxys[:, 0], outxys[:, 1])
+        x, y = self.inwcs.world2pix(ra, dec)
+        return np.stack([x, y], axis=-1)
+
+    # ----- pixel partition --------------------------------------------------
+
+    def partition_pixels(self, sp_res: int = 90, verbose=False):
+        """
+        Partition this exposure's pixels into input postage stamps.
+
+        Vectorized version of the reference's sparse-grid search
+        (coadd.py:174-380): a coarse grid finds the relevant region, then all
+        pixels of relevant cells are transformed in one vectorized call.
+        """
+        cfg = self.blk.cfg
+        n2 = cfg.n2
+        pix_lower = -n2 - 0.5
+        pix_upper = cfg.NsideP + n2 - 0.5
+
+        sp_arr = np.linspace(0, Stn.sca_nside, sp_res + 1).astype(np.int64)
+        gx, gy = np.meshgrid(sp_arr, sp_arr)
+        sp_out = self.inpix2world2outpix(
+            np.stack([gx.ravel(), gy.ravel()], axis=-1).astype(np.float64))
+        ox = sp_out[:, 0].reshape(sp_res + 1, sp_res + 1)
+        oy = sp_out[:, 1].reshape(sp_res + 1, sp_res + 1)
+
+        # interior grid nodes in range whose stamp neighborhood is used
+        self.is_relevant = False
+        relevant = np.zeros((sp_res, sp_res), dtype=bool)
+        inr = ((ox > pix_lower) & (ox < pix_upper) & (oy > pix_lower) & (oy < pix_upper))
+        n1P2 = cfg.n1P + 2
+        for j in range(1, sp_res):
+            for i in range(1, sp_res):
+                if not inr[j, i]:
+                    continue
+                i_st = int((ox[j, i] - pix_lower) // n2)
+                j_st = int((oy[j, i] - pix_lower) // n2)
+                if np.any(self.blk.use_instamps[max(j_st - 2, 0):min(j_st + 3, n1P2),
+                                                max(i_st - 2, 0):min(i_st + 3, n1P2)]):
+                    self.is_relevant = True
+                    relevant[max(j - 2, 0):min(j + 3, sp_res),
+                             max(i - 2, 0):min(i + 3, sp_res)] = True
+        if not self.is_relevant:
+            return
+        print("input image", self.idsca, flush=True)
+
+        # masks
+        if self.blk.pmask is not None:
+            mask = self.blk.pmask[self.idsca[1] - 1].copy()
+        else:
+            mask = np.ones((Stn.sca_nside, Stn.sca_nside), dtype=bool)
+
+        get_all_data(self)  # fills self.indata
+
+        cr = Mask.load_cr_mask(self)
+        if cr is not None:
+            mask &= cr
+        mask &= Mask.load_mask_from_maskfile(self.blk.cfg, self.blk.obsdata, self.idsca)
+
+        # gather pixels of relevant cells and transform them all at once
+        pixmask = np.zeros((Stn.sca_nside, Stn.sca_nside), dtype=bool)
+        for j, i in zip(*np.nonzero(relevant)):
+            pixmask[sp_arr[j]:sp_arr[j + 1], sp_arr[i]:sp_arr[i + 1]] = True
+        pixmask &= mask
+        yy, xx = np.nonzero(pixmask)
+        out = self.inpix2world2outpix(np.stack([xx, yy], axis=-1).astype(np.float64))
+        keep = ((out[:, 0] > pix_lower) & (out[:, 0] < pix_upper)
+                & (out[:, 1] > pix_lower) & (out[:, 1] < pix_upper))
+        xx, yy, out = xx[keep], yy[keep], out[keep]
+
+        i_st = ((out[:, 0] - pix_lower) // n2).astype(np.int64)
+        j_st = ((out[:, 1] - pix_lower) // n2).astype(np.int64)
+        used = self.blk.use_instamps[j_st, i_st]
+        xx, yy, out, i_st, j_st = xx[used], yy[used], out[used], i_st[used], j_st[used]
+
+        # group by stamp
+        order = np.lexsort((xx, yy, i_st, j_st))
+        xx, yy, out, i_st, j_st = xx[order], yy[order], out[order], i_st[order], j_st[order]
+        key = j_st * n1P2 + i_st
+        self.stamp_pix = {}
+        starts = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1, [len(key)]])
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            if s1 <= s0:
+                continue
+            self.stamp_pix[(int(j_st[s0]), int(i_st[s0]))] = dict(
+                x_idx=xx[s0:s1], y_idx=yy[s0:s1],
+                x_val=out[s0:s1, 0], y_val=out[s0:s1, 1])
+        npix_tot = len(key)
+        if verbose:
+            print("-->", npix_tot, "pixels selected from idsca", self.idsca)
+
+    def extract_layers(self):
+        """Attach per-stamp layer data; free the full-frame cube."""
+        for ji, rec in self.stamp_pix.items():
+            rec["data"] = self.indata[:, rec["y_idx"], rec["x_idx"]].astype(np.float32)
+            del rec["x_idx"], rec["y_idx"]
+        del self.indata
+
+    # ----- PSF access -------------------------------------------------------
+
+    @staticmethod
+    def psf_filename(inpsf_format, obsid):
+        """PSF file name broker (reference coadd.py:512-538)."""
+        if inpsf_format == "dc2_imsim":
+            return f"dc2_psf_{obsid:d}.fits"
+        if inpsf_format in ["anlsim", "L2_2506", "L2_fits"]:
+            return f"psf_polyfit_{obsid:d}.fits"
+        if inpsf_format[:4].lower() == "piff":
+            s = inpsf_format[5:] if inpsf_format[4] == ":" else "ffov"
+            return f"{s}_{obsid:d}.piff"
+        raise ValueError(f"unknown PSF format {inpsf_format!r}")
+
+    def get_psf_pos(self, psf_compute_point, use_shortrange=False, use_drawpsf=False):
+        """
+        Input PSF at an (ra, dec) position: Legendre-cube evaluation plus
+        pixel-tophat smearing (reference InImage.get_psf_pos, coadd.py:540-653).
+        """
+        cfg = self.blk.cfg
+        tophat = cfg.inpsf_oversamp
+        if use_shortrange and cfg.psfsplit:
+            tophat = 0
+
+        pixloc = self.inwcs.world2pix(psf_compute_point[0], psf_compute_point[1])
+
+        use_drawpsf = use_drawpsf and (cfg.inpsfdraw_format is not None)
+        iformat = cfg.inpsfdraw_format if use_drawpsf else cfg.inpsf_format
+        ipath = cfg.inpsfdraw_path if use_drawpsf else cfg.inpsf_path
+
+        key = (iformat, use_shortrange)
+        if key not in self._psf_cache:
+            fname = ipath + "/" + InImage.psf_filename(iformat, self.idsca[0])
+            if use_shortrange and cfg.psfsplit:
+                fname = cfg.inlayercache + f".psf/psf_{self.idsca[0]:d}.fits"
+            if not exists(fname):
+                raise FileNotFoundError(f"input PSF file missing: {fname}")
+            hdus = fits_read(fname)
+            sskip = 0
+            if use_shortrange and cfg.psfsplit:
+                sskip = int(hdus[0].header["GSSKIP"])
+            self._psf_cache[key] = np.asarray(hdus[self.idsca[1] + sskip].data,
+                                              dtype=np.float64)
+        cube = self._psf_cache[key]
+
+        if iformat == "dc2_imsim":
+            return psfmodels.smooth_and_pad(cube if cube.ndim == 2 else cube[0],
+                                            tophatwidth=tophat)
+        # Legendre polynomial cube formats
+        psf = psfmodels.eval_psf_cube(cube, float(pixloc[0]), float(pixloc[1]),
+                                      nside=Stn.sca_nside)
+        out = psfmodels.smooth_and_pad(psf, tophatwidth=tophat)
+        if iformat == "anlsim":
+            out = out / 64.0  # anlsim cubes are per s_in^2, not per sample^2
+        return out
+
+    def get_psf_pos_batch(self, points, use_drawpsf=False):
+        """
+        Input PSFs at many (ra, dec) positions at once: vectorized Legendre
+        evaluation + batched FFT smearing.  Returns (S, ny, nx).
+        """
+        cfg = self.blk.cfg
+        use_drawpsf = use_drawpsf and (cfg.inpsfdraw_format is not None)
+        iformat = cfg.inpsfdraw_format if use_drawpsf else cfg.inpsf_format
+        points = np.asarray(points, dtype=np.float64)
+
+        if iformat == "dc2_imsim":
+            one = self.get_psf_pos(points[0], use_drawpsf=use_drawpsf)
+            return np.broadcast_to(one, (len(points),) + one.shape)
+
+        # trigger the cube load through the scalar path
+        self.get_psf_pos(points[0], use_drawpsf=use_drawpsf)
+        cube = self._psf_cache[(iformat, False)]
+        px, py = self.inwcs.world2pix(points[:, 0], points[:, 1])
+        psfs = psfmodels.eval_psf_cube_batch(cube, px, py, nside=Stn.sca_nside)
+        out = psfmodels.smooth_and_pad_batch(psfs, tophatwidth=cfg.inpsf_oversamp)
+        if iformat == "anlsim":
+            out = out / 64.0
+        return out
+
+    def clear(self):
+        if hasattr(self, "stamp_pix"):
+            del self.stamp_pix
+        self._psf_cache.clear()
+
+
+class InStamp:
+    """Concatenated input pixels of one postage stamp across exposures."""
+
+    def __init__(self, blk: "Block", j_st: int, i_st: int):
+        self.blk = blk
+        self.j_st = j_st
+        self.i_st = i_st
+
+        xs, ys, datas, imgs = [], [], [], []
+        counts = []
+        for i_im, inimage in enumerate(blk.inimages):
+            rec = getattr(inimage, "stamp_pix", {}).get((j_st, i_st))
+            if rec is None:
+                counts.append(0)
+                continue
+            counts.append(len(rec["x_val"]))
+            xs.append(rec["x_val"])
+            ys.append(rec["y_val"])
+            datas.append(rec["data"])
+            imgs.append(np.full(len(rec["x_val"]), i_im, dtype=np.int32))
+        self.pix_count = np.array(counts, dtype=np.int64)
+        self.pix_cumsum = np.concatenate([[0], np.cumsum(self.pix_count)])
+        if xs:
+            self.x_val = np.concatenate(xs)
+            self.y_val = np.concatenate(ys)
+            self.data = np.concatenate(datas, axis=1)
+            self.img_idx = np.concatenate(imgs)
+        else:
+            self.x_val = np.zeros(0)
+            self.y_val = np.zeros(0)
+            self.data = np.zeros((blk.cfg.n_inframe, 0), dtype=np.float32)
+            self.img_idx = np.zeros(0, dtype=np.int32)
+
+    @property
+    def n_pix(self):
+        return len(self.x_val)
+
+    def make_selection(self, pivot=(None, None), radius=None):
+        """Indices of pixels within `radius` of the pivot line/point, or None
+        for all (reference InStamp.make_selection, coadd.py:716-749)."""
+        if pivot == (None, None) or radius is None:
+            return None
+        dist_sq = np.zeros(self.n_pix)
+        if pivot[0] is not None:
+            dist_sq += np.square(self.x_val - pivot[0])
+        if pivot[1] is not None:
+            dist_sq += np.square(self.y_val - pivot[1])
+        sel = np.nonzero(dist_sq < radius ** 2)[0].astype(np.int64)
+        return sel if len(sel) < self.n_pix else None
+
+    def clear(self):
+        self.x_val = self.y_val = self.data = self.img_idx = None
+
+
+def group_of(ji_st):
+    """Stamp (j, i) -> its 2x2 PSF group anchor (even coordinates)."""
+    return (ji_st[0] & ~1, ji_st[1] & ~1)
+
+
+class Block:
+    """
+    Coadd one block of the mosaic.
+
+    Parameters
+    ----------
+    cfg : Config
+    this_sub : int -- block index (ibx * nblock + iby).
+    run_coadd : bool -- run the full pipeline on construction.
+    """
+
+    def __init__(self, cfg: Config = None, this_sub: int = 0, run_coadd: bool = True):
+        self.timer = Timer()
+        if cfg is None:
+            cfg = Config()
+        cfg()
+        self.cfg = cfg
+        self.geom = PSFGeometry(npixpsf=cfg.npixpsf, oversamp=cfg.inpsf_oversamp,
+                                dtheta=cfg.dtheta, psfsplit=bool(cfg.psfsplit))
+        self.this_sub = this_sub
+        if run_coadd:
+            self()
+
+    def __call__(self):
+        self.parse_config()
+        self.process_input_images()
+        self.build_input_stamps()
+        self.coadd_output_stamps(sim_mode=True)
+        self.coadd_output_stamps(sim_mode=False)
+        self.build_output_file(is_final=True)
+        print(f"finished at t = {self.timer():.2f} s", flush=True)
+
+    # ----- configuration and geometry --------------------------------------
+
+    def parse_config(self):
+        cfg = self.cfg
+        print("number of input frames =", cfg.n_inframe, "type =", cfg.extrainput)
+
+        hdus = fits_read(cfg.obsfile)
+        obs = hdus[1]
+        fdata = obs["filter"]
+        if fdata.dtype.kind in "US":
+            conv = np.zeros(len(fdata), dtype=np.uint16)
+            for j, s in enumerate(Stn.RomanFilters):
+                conv[np.asarray(fdata) == s] = j
+            obs.data["filter"] = conv
+        self.obsdata = obs.data  # dict of columns
+
+        ibx, iby = divmod(self.this_sub, cfg.nblock)
+        self.ibx, self.iby = ibx, iby
+        self.outstem = cfg.outstem + f"_{ibx:02d}_{iby:02d}"
+        print(f"sub-block {self.this_sub:4d} <{ibx:2d},{iby:2d}> of "
+              f"{cfg.nblock}x{cfg.nblock}; outputs -> {self.outstem}", flush=True)
+
+        self.outwcs = make_block_wcs(cfg, ibx, iby)
+        ctr = (cfg.NsideP - 1) / 2.0
+        ra, dec = self.outwcs.pix2world(np.array([ctr]), np.array([ctr]))
+        self.centerpos = np.array([ra[0], dec[0]])
+
+        # target output PSFs, sampled and FFT'd
+        geom = self.geom
+        n_out = cfg.n_out
+        psfs = np.zeros((n_out, geom.nsamp + 1, geom.nsamp + 1))
+        psfs[0] = self._get_outpsf(cfg.outpsf, cfg.sigmatarget)
+        for j in range(1, n_out):
+            psfs[j] = self._get_outpsf(cfg.outpsf_extra[j - 1], cfg.sigmatarget_extra[j - 1])
+        sampled = sample_psf_unrotated(geom, psfs)
+        self.outpsfgrp = PSFGroup(geom, sampled, psf_circ=cfg.psf_circ,
+                                  psf_norm=cfg.psf_norm, amp_penalty=cfg.amp_penalty)
+        self.outovlc = outpsf_C_values(geom, self.outpsfgrp)
+        print("computed overlap, C=", self.outovlc, flush=True)
+
+    def _get_outpsf(self, outpsf: str, extrasmooth: float):
+        """Target PSF image (reference PSFGrp._get_outpsf, psfutil.py:853-898)."""
+        geom = self.geom
+        n = geom.nsamp + 1
+        ov = geom.oversamp
+        if outpsf == "GAUSSIAN":
+            return psfmodels.psf_gaussian(n, extrasmooth * ov, extrasmooth * ov)
+        if outpsf == "AIRYOBSC":
+            return psfmodels.psf_simple_airy(
+                n, Stn.QFilterNative[self.cfg.use_filter] * ov, obsc=Stn.obsc,
+                sigma=extrasmooth * ov)
+        if outpsf == "AIRYUNOBSC":
+            return psfmodels.psf_simple_airy(
+                n, Stn.QFilterNative[self.cfg.use_filter] * ov, obsc=0.0,
+                sigma=extrasmooth * ov)
+        raise ValueError(f"unsupported target output PSF type {outpsf!r}")
+
+    def _get_obs_cover(self, radius):
+        """Observations whose SCA field of view may intersect this block
+        (spherical rotation search; reference coadd.py:1729-1787)."""
+        obs = self.obsdata
+        n_obs = len(obs["ra"])
+        cp = self.centerpos
+        x1 = np.cos(cp[1] * Stn.degree) * np.cos((cp[0] - obs["ra"]) * Stn.degree)
+        y1 = np.cos(cp[1] * Stn.degree) * np.sin((cp[0] - obs["ra"]) * Stn.degree)
+        z1 = np.sin(cp[1] * Stn.degree) * np.ones(n_obs)
+        x2 = np.sin(obs["dec"] * Stn.degree) * x1 - np.cos(obs["dec"] * Stn.degree) * z1
+        y2 = y1
+        z2 = np.cos(obs["dec"] * Stn.degree) * x1 + np.sin(obs["dec"] * Stn.degree) * z1
+        X = (-np.sin(obs["pa"] * Stn.degree) * x2 - np.cos(obs["pa"] * Stn.degree) * y2) / Stn.degree
+        Y = (-np.cos(obs["pa"] * Stn.degree) * x2 + np.sin(obs["pa"] * Stn.degree) * y2) / Stn.degree
+        X = np.where(z2 > 0, X, 1e49)
+
+        self.obslist = []
+        for isca in range(18):
+            good = np.nonzero(
+                (np.hypot(X - Stn.SCAFov[isca][0], Y - Stn.SCAFov[isca][1]) < radius)
+                & (obs["filter"] == self.cfg.use_filter))[0]
+            for k in good:
+                self.obslist.append((int(k), isca + 1))
+        self.obslist.sort()
+
+    def _handle_postage_pad(self):
+        cfg = self.cfg
+        pad = cfg.postage_pad
+        self.j_st_min = self.i_st_min = pad + 1
+        self.j_st_max = self.i_st_max = self.j_st_min + cfg.n1 - 1
+        self.pad_sides = ""
+        if cfg.pad_sides == "all":
+            self.pad_sides = "BTLR"
+        elif cfg.pad_sides == "auto":
+            ibx, iby = self.ibx, self.iby
+            if iby == 0:
+                self.pad_sides += "B"
+            elif iby == cfg.nblock - 1:
+                self.pad_sides += "T"
+            if ibx == 0:
+                self.pad_sides += "L"
+            elif ibx == cfg.nblock - 1:
+                self.pad_sides += "R"
+        elif cfg.pad_sides != "none":
+            self.pad_sides = cfg.pad_sides
+
+        if "B" in self.pad_sides:
+            self.j_st_min -= pad
+        if "T" in self.pad_sides:
+            self.j_st_max += pad
+        if "L" in self.pad_sides:
+            self.i_st_min -= pad
+        if "R" in self.pad_sides:
+            self.i_st_max += pad
+
+        self.nrun = (self.j_st_max - self.j_st_min + 1) * (self.i_st_max - self.i_st_min + 1)
+        if cfg.stoptile:
+            self.nrun = cfg.stoptile
+
+        # mark which input stamps are needed
+        n1P2 = cfg.n1P + 2
+        self.use_instamps = np.zeros((n1P2, n1P2), dtype=bool)
+        n_c = 0
+        for j_st in range(self.j_st_min, self.j_st_max + 1, 2):
+            for i_st in range(self.i_st_min, self.i_st_max + 1, 2):
+                for dj, di in product(range(2), range(2)):
+                    self.use_instamps[j_st + dj - 1:j_st + dj + 2,
+                                      i_st + di - 1:i_st + di + 2] = True
+                    n_c += 1
+                    if n_c == self.nrun:
+                        return
+
+    # ----- inputs -----------------------------------------------------------
+
+    def process_input_images(self):
+        cfg = self.cfg
+        search_radius = (Stn.sca_sidelength / np.sqrt(2.0) / Stn.degree
+                         + cfg.NsideP * cfg.dtheta / np.sqrt(2.0))
+        self._get_obs_cover(search_radius)
+        print(len(self.obslist), f"observations within range ({search_radius:7.5f} deg)",
+              "filter =", cfg.use_filter, flush=True)
+
+        self.inimages = [InImage(self, idsca) for idsca in self.obslist]
+        if not any(im.exists_ for im in self.inimages):
+            raise RuntimeError("No candidate observations found to stack.")
+
+        self.pmask = Mask.load_permanent_mask(self)
+        self._handle_postage_pad()
+        for inimage in self.inimages:
+            if not inimage.exists_:
+                inimage.is_relevant = False
+                continue
+            inimage.partition_pixels(verbose=True)
+            if inimage.is_relevant:
+                inimage.extract_layers()
+        del self.pmask
+
+        keep = [i for i, im in enumerate(self.inimages) if im.is_relevant]
+        self.obslist = [self.obslist[i] for i in keep]
+        self.inimages = [self.inimages[i] for i in keep]
+        self.n_inimage = len(self.inimages)
+        print("n_inimage =", self.n_inimage, "@", f"{self.timer():.2f} s", flush=True)
+
+    def build_input_stamps(self):
+        n1P2 = self.cfg.n1P + 2
+        self.instamps = {}
+        for j_st in range(n1P2):
+            for i_st in range(n1P2):
+                if self.use_instamps[j_st, i_st]:
+                    self.instamps[(j_st, i_st)] = InStamp(self, j_st, i_st)
+        for inimage in self.inimages:
+            inimage.clear()
+
+    # ----- PSF group and overlap caching ------------------------------------
+
+    def _group_images(self, ji_grp):
+        """Block image indices participating in a 2x2 stamp group."""
+        use = np.zeros(self.n_inimage, dtype=bool)
+        for dj, di in product(range(2), range(2)):
+            st = self.instamps.get((ji_grp[0] + dj, ji_grp[1] + di))
+            if st is not None:
+                use |= st.pix_count > 0
+        return np.nonzero(use)[0]
+
+    def _get_psf_group(self, ji_grp):
+        """Input PSF group for a 2x2 stamp group (cached, refcounted)."""
+        if ji_grp in self._grp_cache:
+            return self._grp_cache[ji_grp]
+        cfg = self.cfg
+        imgs = self._group_images(ji_grp)
+        n_psf = len(imgs)
+        blk2grp = np.full(self.n_inimage, 255, dtype=np.int64)
+        for g, b in enumerate(imgs):
+            blk2grp[b] = g
+        compute_point_pix = [ji_grp[1] * cfg.n2 - 0.5, ji_grp[0] * cfg.n2 - 0.5]
+        world = self.outwcs.all_pix2world(np.array([compute_point_pix]), 0)[0]
+        psf_arr = np.zeros((n_psf, self.geom.nsamp, self.geom.nsamp))
+        for g, b in enumerate(imgs):
+            inimage = self.inimages[b]
+            this_psf = inimage.get_psf_pos(world, use_shortrange=True)
+            psf_arr[g] = sample_psf_rotated(self.geom, this_psf,
+                                            inimage.outpix2world2inpix,
+                                            compute_point_pix)
+        grp = PSFGroup(self.geom, psf_arr, idx_blk2grp=blk2grp, idx_grp2blk=imgs,
+                       psf_circ=cfg.psf_circ, psf_norm=cfg.psf_norm,
+                       amp_penalty=cfg.amp_penalty)
+        self._grp_cache[ji_grp] = grp
+        return grp
+
+    def _release_group(self, ji_grp):
+        self._grp_ref[ji_grp] -= 1
+        if self._grp_ref[ji_grp] <= 0:
+            grp = self._grp_cache.pop(ji_grp, None)
+            if grp is not None:
+                grp.clear()
+
+    def _get_ii_overlap(self, gp1, gp2):
+        """Overlap stack between two input PSF groups (cached, refcounted)."""
+        key = (gp1, gp2)
+        if key not in self._ovl_cache:
+            grp1 = self._get_psf_group(gp1)
+            grp2 = self._get_psf_group(gp2) if gp2 != gp1 else None
+            stack = build_overlap_stack(self.geom, grp1, grp2)
+            self._ovl_cache[key] = (stack, grp1,
+                                    grp2 if grp2 is not None else grp1)
+        return self._ovl_cache[key]
+
+    def _release_ii_overlap(self, gp1, gp2):
+        key = (gp1, gp2)
+        self._ovl_ref[key] -= 1
+        if self._ovl_ref[key] <= 0:
+            self._ovl_cache.pop(key, None)
+            self._release_group(gp1)
+            if gp2 != gp1:
+                self._release_group(gp2)
+
+    def _get_io_overlap(self, gp):
+        """Overlap stack between an input PSF group and the target PSFs."""
+        if gp not in self._io_cache:
+            grp = self._get_psf_group(gp)
+            stack = build_overlap_stack(self.geom, grp, self.outpsfgrp)
+            self._io_cache[gp] = (stack, grp)
+        return self._io_cache[gp]
+
+    def _release_io_overlap(self, gp):
+        self._io_ref[gp] -= 1
+        if self._io_ref[gp] <= 0:
+            self._io_cache.pop(gp, None)
+            self._release_group(gp)
+
+    def _drop_iisubmat_ref(self, ji1, ji2):
+        """Consume one reference to a submatrix without computing it (used
+        when an output stamp turns out to have no input pixels)."""
+        key = (ji1, ji2)
+        self._submat_ref[key] -= 1
+        if self._submat_ref[key] <= 0:
+            if key in self._submat_cache:
+                del self._submat_cache[key]
+            elif key not in self._submat_computed:
+                # the computation the sim pass budgeted never happens;
+                # release its overlap-stack reference
+                gp1, gp2 = group_of(ji1), group_of(ji2)
+                okey = (gp1, gp2) if gp1 <= gp2 else (gp2, gp1)
+                self._release_ii_overlap(*okey)
+
+    def _get_iisubmat(self, ji1, ji2):
+        """A submatrix for a (sorted) stamp pair (cached, refcounted)."""
+        key = (ji1, ji2)
+        if key not in self._submat_cache and key not in self._submat_computed:
+            gp1, gp2 = group_of(ji1), group_of(ji2)
+            swap = False
+            okey = (gp1, gp2) if gp1 <= gp2 else (gp2, gp1)
+            if gp1 > gp2:
+                swap = True
+            stack, grpa, grpb = self._get_ii_overlap(*okey)
+            st1, st2 = self.instamps[ji1], self.instamps[ji2]
+            same_grp = gp1 == gp2
+            if same_grp:
+                n_in_eff = grpa.n_psf
+            else:
+                n_in_eff = np.sqrt(grpa.n_psf * grpb.n_psf)
+            if not swap:
+                sub = interp_submatrix(
+                    self.geom, stack, st1.x_val, st1.y_val, st1.img_idx,
+                    st2.x_val, st2.y_val, st2.img_idx,
+                    grpa.idx_blk2grp, grpb.idx_blk2grp, grpb.n_psf,
+                    self.cfg.flat_penalty, n_in_eff)
+            else:
+                # overlap stack is (grp2, grp1): evaluate transposed block
+                sub = interp_submatrix(
+                    self.geom, stack, st2.x_val, st2.y_val, st2.img_idx,
+                    st1.x_val, st1.y_val, st1.img_idx,
+                    grpa.idx_blk2grp, grpb.idx_blk2grp, grpb.n_psf,
+                    self.cfg.flat_penalty, n_in_eff).T
+            self._submat_cache[key] = sub
+            self._submat_computed.add(key)
+            self._release_ii_overlap(*okey)
+        sub = self._submat_cache[key]
+        self._submat_ref[key] -= 1
+        if self._submat_ref[key] <= 0:
+            del self._submat_cache[key]
+        return sub
+
+    # ----- main coaddition loop ---------------------------------------------
+
+    def coadd_output_stamps(self, sim_mode=False):
+        cfg = self.cfg
+        if sim_mode:
+            # reference-counting pass
+            self._grp_ref = {}
+            self._ovl_ref = {}
+            self._io_ref = {}
+            self._submat_ref = {}
+            self._grp_cache = {}
+            self._ovl_cache = {}
+            self._io_cache = {}
+            self._submat_cache = {}
+            self._submat_computed = set()
+        else:
+            n_out = cfg.n_out
+            NsidePf = cfg.NsideP + cfg.fade_kernel * 2
+            self.out_map = np.zeros((n_out, cfg.n_inframe, NsidePf, NsidePf), dtype=np.float32)
+            self.T_weightmap = np.zeros((n_out, self.n_inimage, cfg.n1P, cfg.n1P),
+                                        dtype=np.float32)
+            shape = (n_out, NsidePf, NsidePf)
+            outmaps = cfg.outmaps
+            self.UC_map = np.zeros(shape, dtype=np.float32) if "U" in outmaps else None
+            self.Sigma_map = np.zeros(shape, dtype=np.float32) if "S" in outmaps else None
+            self.kappa_map = np.zeros(shape, dtype=np.float32) if "K" in outmaps else None
+            self.Tsum_map = np.zeros(shape, dtype=np.float32) if "T" in outmaps else None
+            self.Neff_map = np.zeros(shape, dtype=np.float32) if "N" in outmaps else None
+
+        n_coadded = 0
+        for j_st in range(self.j_st_min, self.j_st_max + 1, 2):
+            for i_st in range(self.i_st_min, self.i_st_max + 1, 2):
+                for dj, di in product(range(2), range(2)):
+                    self._output_stamp(j_st + dj, i_st + di, sim_mode)
+                    n_coadded += 1
+                    if n_coadded == self.nrun:
+                        return
+
+    def _sim_count(self, ji_in_s, ji_out):
+        """Simulation pass: count every cache reference this stamp will make."""
+        if self.cfg.linear_algebra == "Empirical" and self.cfg.no_qlt_ctrl:
+            return  # no system matrices are built in this mode
+        if not hasattr(self, "_sim_seen"):
+            self._sim_seen = set()
+        seen_submat_new = []
+        for ji in ji_in_s:
+            key = (ji, ji)
+            self._submat_ref[key] = self._submat_ref.get(key, 0) + 1
+            if key not in self._sim_seen:
+                self._sim_seen.add(key)
+                seen_submat_new.append(key)
+        for ji1, ji2 in combinations(ji_in_s, 2):
+            key = (ji1, ji2) if ji1 <= ji2 else (ji2, ji1)
+            self._submat_ref[key] = self._submat_ref.get(key, 0) + 1
+            if key not in self._sim_seen:
+                self._sim_seen.add(key)
+                seen_submat_new.append(key)
+        for key in seen_submat_new:
+            gp1, gp2 = group_of(key[0]), group_of(key[1])
+            okey = (gp1, gp2) if gp1 <= gp2 else (gp2, gp1)
+            first = okey not in self._ovl_ref or self._ovl_ref[okey] == 0
+            self._ovl_ref[okey] = self._ovl_ref.get(okey, 0) + 1
+            if first:
+                self._grp_ref[okey[0]] = self._grp_ref.get(okey[0], 0) + 1
+                if okey[1] != okey[0]:
+                    self._grp_ref[okey[1]] = self._grp_ref.get(okey[1], 0) + 1
+        # io overlaps: one use per input stamp of this output stamp
+        for ji in ji_in_s:
+            gp = group_of(ji)
+            first = gp not in self._io_ref or self._io_ref[gp] == 0
+            self._io_ref[gp] = self._io_ref.get(gp, 0) + 1
+            if first:
+                self._grp_ref[gp] = self._grp_ref.get(gp, 0) + 1
+
+    def _output_stamp(self, j_st, i_st, sim_mode=False):
+        cfg = self.cfg
+        ji_in_s = [(j_st + dj, i_st + di) for dj in range(-1, 2) for di in range(-1, 2)]
+
+        if sim_mode:
+            self._sim_count(ji_in_s, (j_st, i_st))
+            return
+
+        print(f"postage stamp {i_st:2d},{j_st:2d}  t= {self.timer():9.2f} s", flush=True)
+        fade_kernel = cfg.fade_kernel
+        n2 = cfg.n2
+        n2f = cfg.n2f
+        bottom = (j_st - 1) * n2
+        top = bottom + n2 - 1
+        left = (i_st - 1) * n2
+        right = left + n2 - 1
+        rho_acc = (cfg.instamp_pad / Stn.arcsec) / (cfg.dtheta * 3600.0)
+
+        # select input pixels from the 3x3 stamp neighborhood
+        stamps = [self.instamps[ji] for ji in ji_in_s]
+        sels, xs, ys, imgs, datas = [], [], [], [], []
+        for ji, st in zip(ji_in_s, stamps):
+            x_pivot = [left - 0.5, None, right + 0.5][ji[1] - i_st + 1]
+            y_pivot = [bottom - 0.5, None, top + 0.5][ji[0] - j_st + 1]
+            sel = st.make_selection((x_pivot, y_pivot), rho_acc)
+            sels.append(sel)
+            if sel is None:
+                xs.append(st.x_val)
+                ys.append(st.y_val)
+                imgs.append(st.img_idx)
+                datas.append(st.data)
+            else:
+                xs.append(st.x_val[sel])
+                ys.append(st.y_val[sel])
+                imgs.append(st.img_idx[sel])
+                datas.append(st.data[:, sel])
+        counts = np.array([len(x) for x in xs])
+        cumsum = np.concatenate([[0], np.cumsum(counts)])
+        n = int(cumsum[-1])
+        inx = np.concatenate(xs) if n else np.zeros(0)
+        iny = np.concatenate(ys) if n else np.zeros(0)
+        inimg = np.concatenate(imgs) if n else np.zeros(0, dtype=np.int32)
+        indata = np.concatenate(datas, axis=1) if n else np.zeros((cfg.n_inframe, 0),
+                                                                  dtype=np.float32)
+
+        # output grid positions (with fade transition ring)
+        oy, ox = np.mgrid[bottom - fade_kernel:top + fade_kernel + 1,
+                          left - fade_kernel:right + fade_kernel + 1]
+        out_x = ox.ravel().astype(np.float64)
+        out_y = oy.ravel().astype(np.float64)
+        m = n2f * n2f
+        n_out = cfg.n_out
+
+        if n == 0:
+            # no input pixels: U=C, Sigma=0, kappa=1 (reference lakernel.py:109-119)
+            self._accumulate(j_st, i_st, np.zeros((n_out, cfg.n_inframe, n2f, n2f),
+                                                  dtype=np.float32),
+                             np.ones((n_out, n2f, n2f), np.float32),
+                             np.zeros((n_out, n2f, n2f), np.float32),
+                             np.ones((n_out, n2f, n2f), np.float32),
+                             np.zeros((n_out, n2f, n2f), np.float32),
+                             np.ones((n_out, n2f, n2f), np.float32),
+                             np.zeros((n_out, self.n_inimage), np.float32))
+            # release every reference the sim pass counted for this stamp
+            if not (cfg.linear_algebra == "Empirical" and cfg.no_qlt_ctrl):
+                for ji in ji_in_s:
+                    self._drop_iisubmat_ref(ji, ji)
+                for ji1, ji2 in combinations(ji_in_s, 2):
+                    if ji1 <= ji2:
+                        self._drop_iisubmat_ref(ji1, ji2)
+                    else:
+                        self._drop_iisubmat_ref(ji2, ji1)
+            self._consume_refs(ji_in_s)
+            return
+
+        no_qlt = cfg.linear_algebra == "Empirical" and cfg.no_qlt_ctrl
+
+        if not no_qlt:
+            # ---- A matrix -------------------------------------------------
+            A = np.zeros((n, n))
+            for idx, ji in enumerate(ji_in_s):
+                sub = self._get_iisubmat(ji, ji)
+                if sels[idx] is not None:
+                    sub = sub[np.ix_(sels[idx], sels[idx])]
+                A[cumsum[idx]:cumsum[idx + 1], cumsum[idx]:cumsum[idx + 1]] = sub
+            for (ia, ib), (ja, jb), (sa, sb) in zip(
+                    combinations(range(9), 2), combinations(ji_in_s, 2),
+                    combinations(sels, 2)):
+                ji1, ji2 = ja, jb
+                swapped = not (ji1 <= ji2)
+                key = (ji1, ji2) if not swapped else (ji2, ji1)
+                sub = self._get_iisubmat(*key)
+                if swapped:
+                    sub = sub.T
+                if sa is not None:
+                    sub = sub[sa, :]
+                if sb is not None:
+                    sub = sub[:, sb]
+                A[cumsum[ia]:cumsum[ia + 1], cumsum[ib]:cumsum[ib + 1]] = sub
+                A[cumsum[ib]:cumsum[ib + 1], cumsum[ia]:cumsum[ia + 1]] = sub.T
+
+            # ---- -B/2 matrix ----------------------------------------------
+            mBhalf = np.zeros((n_out, m, n))
+            for idx, ji in enumerate(ji_in_s):
+                gp = group_of(ji)
+                stack, grp = self._get_io_overlap(gp)
+                sub = interp_io_submatrix(
+                    self.geom, stack, xs[idx], ys[idx], imgs[idx],
+                    grp.idx_blk2grp, out_x, out_y, n_out)
+                mBhalf[:, :, cumsum[idx]:cumsum[idx + 1]] = sub
+            C = self.outovlc
+        else:
+            A = mBhalf = None
+            C = self.outovlc
+
+        # ---- solve -----------------------------------------------------
+        T, kappa, Sigma, UC = self._solve(A, mBhalf, C, inx, iny, out_x, out_y,
+                                          rho_acc, n)
+
+        print("  n input pix =", n, flush=True)
+        sq = np.sqrt(np.maximum(UC, 1e-32))
+        ss = np.sqrt(np.maximum(Sigma, 1e-32))
+        print(f"  sqUC,sqSig medians | {np.median(sq):8.2E} {np.median(ss):8.2E}", flush=True)
+
+        if cfg.linear_algebra == "Iterative":
+            UC = np.maximum(UC, 1e-32)
+            Sigma = np.maximum(Sigma, 1e-32)
+
+        UC = UC.reshape(n_out, n2f, n2f).astype(np.float32)
+        Sigma = Sigma.reshape(n_out, n2f, n2f).astype(np.float32)
+        kappa = kappa.reshape(n_out, n2f, n2f).astype(np.float32)
+        if fade_kernel > 0:
+            trapezoid(kappa, fade_kernel)
+            trapezoid(Sigma, fade_kernel)
+            trapezoid(UC, fade_kernel)
+
+        # ---- coaddition -------------------------------------------------
+        if fade_kernel > 0:
+            T_view = np.moveaxis(T, 1, -1).reshape(n_out, n, n2f, n2f)
+            trapezoid(T_view, fade_kernel)
+
+        # per-image weights
+        Tsum_image = np.zeros((n_out, m, self.n_inimage))
+        for i_im in range(self.n_inimage):
+            msk = inimg == i_im
+            if np.any(msk):
+                Tsum_image[:, :, i_im] = np.sum(T[:, :, msk], axis=2)
+        Tsum_stamp = (np.sum(Tsum_image, axis=1) / n2 ** 2).astype(np.float32)
+        Tsum_inpix = np.sum(Tsum_image, axis=2).reshape(n_out, n2f, n2f).astype(np.float32)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            Tsum_norm = Tsum_image / np.abs(Tsum_image).sum(axis=2)[:, :, None]
+            Neff = 1.0 / np.sum(np.square(Tsum_norm), axis=2)
+        Neff = np.nan_to_num(Neff).reshape(n_out, n2f, n2f).astype(np.float32)
+        if fade_kernel > 0:
+            trapezoid(Neff, fade_kernel)
+
+        outimage = np.einsum("oaj,ij->oia", T, indata).reshape(
+            n_out, cfg.n_inframe, n2f, n2f).astype(np.float32)
+
+        self._accumulate(j_st, i_st, outimage, UC, Sigma, kappa, Tsum_inpix, Neff,
+                         Tsum_stamp)
+        self._consume_refs(ji_in_s)
+
+    def _solve(self, A, mBhalf, C, inx, iny, out_x, out_y, rho_acc, n):
+        """Dispatch to the configured LA kernel with bucketed padding."""
+        import jax.numpy as jnp
+
+        from .solvers import KERNELS
+
+        cfg = self.cfg
+        n_out = cfg.n_out
+        m = cfg.n2f ** 2
+        kind = cfg.linear_algebra
+        kappaC = jnp.asarray(cfg.kappaC_arr)
+
+        n_pad = max(SOLVE_BUCKET, int(np.ceil(n / SOLVE_BUCKET) * SOLVE_BUCKET))
+        need_dist = kind in ("Iterative", "Empirical")
+        dist = None
+        if need_dist:
+            dist = np.full((m, n_pad), 1e6)
+            dist[:, :n] = np.hypot(out_y[:, None] - iny[None, :],
+                                   out_x[:, None] - inx[None, :])
+
+        if kind == "Empirical" and cfg.no_qlt_ctrl:
+            Ai = jnp.eye(n_pad)
+            Bi = jnp.zeros((n_out, m, n_pad))
+        else:
+            Ap = np.eye(n_pad)
+            Ap[:n, :n] = A
+            Bp = np.zeros((n_out, m, n_pad))
+            Bp[:, :, :n] = mBhalf
+            Ai = jnp.asarray(Ap)
+            Bi = jnp.asarray(Bp)
+        Ci = jnp.asarray(C)
+
+        if kind == "Eigen":
+            T, kappa, Sigma, UC = KERNELS["Eigen"](Ai, Bi, Ci, kappaC,
+                                                   cfg.uctarget, cfg.sigmamax)
+        elif kind == "Cholesky":
+            T, kappa, Sigma, UC = KERNELS["Cholesky"](Ai, Bi, Ci, kappaC,
+                                                      cfg.uctarget, cfg.sigmamax)
+        elif kind == "Iterative":
+            relevant = jnp.asarray(dist < rho_acc)
+            T, kappa, Sigma, UC = KERNELS["Iterative"](
+                Ai, Bi, Ci, kappaC, relevant, cfg.iter_rtol,
+                cfg.uctarget, cfg.sigmamax, maxiter=cfg.iter_max,
+                exact_UC=(len(cfg.kappaC_arr) > 1))
+        elif kind == "Empirical":
+            T, kappa, Sigma, UC = KERNELS["Empirical"](
+                Ai, Bi, Ci, kappaC, jnp.asarray(dist), rho_acc,
+                no_qlt_ctrl=cfg.no_qlt_ctrl)
+        else:
+            raise ValueError(f"unknown LAKERNEL {kind!r}")
+
+        return (np.array(T)[:, :, :n], np.array(kappa), np.array(Sigma),
+                np.array(UC))
+
+    def _consume_refs(self, ji_in_s):
+        """Release io-overlap references made by one output stamp."""
+        if self.cfg.linear_algebra == "Empirical" and self.cfg.no_qlt_ctrl:
+            return
+        for ji in ji_in_s:
+            self._release_io_overlap(group_of(ji))
+
+    def _accumulate(self, j_st, i_st, outimage, UC, Sigma, kappa, Tsum_inpix, Neff,
+                    Tsum_stamp):
+        cfg = self.cfg
+        bottom = (j_st - 1) * cfg.n2
+        top = j_st * cfg.n2 + cfg.fade_kernel * 2
+        left = (i_st - 1) * cfg.n2
+        right = i_st * cfg.n2 + cfg.fade_kernel * 2
+
+        self.out_map[:, :, bottom:top, left:right] += outimage
+        self.T_weightmap[:, :, j_st - 1, i_st - 1] = Tsum_stamp
+        if self.UC_map is not None:
+            self.UC_map[:, bottom:top, left:right] += UC
+        if self.Sigma_map is not None:
+            self.Sigma_map[:, bottom:top, left:right] += Sigma
+        if self.kappa_map is not None:
+            self.kappa_map[:, bottom:top, left:right] += kappa
+        if self.Tsum_map is not None:
+            self.Tsum_map[:, bottom:top, left:right] += Tsum_inpix
+        if self.Neff_map is not None:
+            self.Neff_map[:, bottom:top, left:right] += Neff
+
+    # ----- output ------------------------------------------------------------
+
+    def build_output_file(self, is_final=True):
+        cfg = self.cfg
+        fk = cfg.fade_kernel
+        NsidePf = cfg.NsideP + fk * 2
+        outmaps = cfg.outmaps
+
+        if is_final:
+            trapezoid(self.out_map, fk, recover_mode=True)
+            width = cfg.postage_pad * cfg.n2
+            pad_widths = (width * ("B" not in self.pad_sides),
+                          width * ("T" not in self.pad_sides),
+                          width * ("L" not in self.pad_sides),
+                          width * ("R" not in self.pad_sides))
+            for mp in [self.UC_map, self.Sigma_map, self.kappa_map,
+                       self.Tsum_map, self.Neff_map]:
+                if mp is not None:
+                    trapezoid(mp, fk, True, pad_widths)
+
+        hdr = Header(self.outwcs.to_header())
+
+        maphdu = ImageHDU(self.out_map[:, :, fk:NsidePf - fk, fk:NsidePf - fk],
+                          header=hdr)
+
+        cfg_lines = np.array(self.cfg.to_file(None).splitlines())
+        config_hdu = TableHDU(data={"text": cfg_lines}, name="CONFIG", ascii_table=True)
+        config_hdu.columns = [("text", "A512")]
+        config_hdu.header["TILESCHM"] = cfg.tileschm
+        config_hdu.header["RERUN"] = cfg.rerun
+        config_hdu.header["MOSAIC"] = cfg.mosaic
+        config_hdu.header["FILTER"] = Stn.RomanFilters[cfg.use_filter]
+        config_hdu.header["BLOCKX"] = self.ibx
+        config_hdu.header["BLOCKY"] = self.iby
+
+        inlist_hdu = TableHDU(data={
+            "obsid": np.array([obs[0] for obs in self.obslist], dtype=np.int32),
+            "sca": np.array([obs[1] for obs in self.obslist], dtype=np.int16),
+            "ra": np.array([self.obsdata["ra"][obs[0]] for obs in self.obslist]),
+            "dec": np.array([self.obsdata["dec"][obs[0]] for obs in self.obslist]),
+            "pa": np.array([self.obsdata["pa"][obs[0]] for obs in self.obslist]),
+            "valid": np.array([im.exists_ for im in self.inimages], dtype=bool),
+        }, name="INDATA")
+
+        T_hdu = ImageHDU(self.T_weightmap, name="INWEIGHT")
+        T_hdu2 = ImageHDU(
+            np.transpose(self.T_weightmap, axes=(0, 2, 1, 3)).reshape(
+                (cfg.n_out * cfg.n1P, max(self.n_inimage, 1) * cfg.n1P)),
+            name="INWTFLAT")
+
+        hdus = HDUList([maphdu, config_hdu, inlist_hdu, T_hdu, T_hdu2])
+        crop = np.s_[:, fk:NsidePf - fk, fk:NsidePf - fk]
+        if "U" in outmaps and self.UC_map is not None:
+            h = ImageHDU(compress_map(self.UC_map[crop], -5000, np.uint16),
+                         header=Header(self.outwcs.to_header()), name="FIDELITY")
+            h.header["UNIT"] = "-0.2mB"
+            hdus.append(h)
+        if "S" in outmaps and self.Sigma_map is not None:
+            h = ImageHDU(compress_map(self.Sigma_map[crop], -10000, np.int16),
+                         header=Header(self.outwcs.to_header()), name="SIGMA")
+            h.header["UNIT"] = "-0.1mB"
+            hdus.append(h)
+        if "K" in outmaps and self.kappa_map is not None:
+            h = ImageHDU(compress_map(self.kappa_map[crop], -5000, np.uint16),
+                         header=Header(self.outwcs.to_header()), name="KAPPA")
+            h.header["UNIT"] = "-0.2mB"
+            hdus.append(h)
+        if "T" in outmaps and self.Tsum_map is not None:
+            h = ImageHDU(compress_map(self.Tsum_map[crop], 200000, np.int16),
+                         header=Header(self.outwcs.to_header()), name="INWTSUM")
+            h.header["UNIT"] = "5uB"
+            hdus.append(h)
+        if "N" in outmaps and self.Neff_map is not None:
+            h = ImageHDU(compress_map(self.Neff_map[crop], 50000, np.uint16),
+                         header=Header(self.outwcs.to_header()), name="EFFCOVER")
+            h.header["UNIT"] = "20uB"
+            hdus.append(h)
+
+        fits_write(self.outstem + ".fits", hdus)
+        print("wrote", self.outstem + ".fits", flush=True)

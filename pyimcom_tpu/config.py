@@ -208,7 +208,7 @@ class Config:
             hdus = fits_read(cfg_file)
             for h in hdus:
                 if h.header.get("EXTNAME") == "CONFIG":
-                    text = "\n".join(r[0] if not isinstance(r, str) else r for r in h.data)
+                    text = "\n".join(str(r) for r in h.data["text"])
                     self._from_dict(json.loads(text))
                     self()
                     return

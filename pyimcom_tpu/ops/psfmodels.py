@@ -133,6 +133,22 @@ def smooth_and_pad(arr: np.ndarray, tophatwidth: float = 0.0,
     return np.real(np.fft.ifft2(ft))
 
 
+def smooth_and_pad_batch(arr: np.ndarray, tophatwidth: float = 0.0,
+                         gaussiansigma: float = 0.0) -> np.ndarray:
+    """Batched :func:`smooth_and_pad` over a leading stack axis."""
+    npad = int(np.ceil(tophatwidth + 6 * gaussiansigma + 1))
+    npad += (4 - npad) % 4
+    ns, ny, nx = arr.shape
+    out = np.zeros((ns, ny + 2 * npad, nx + 2 * npad))
+    out[:, npad:-npad, npad:-npad] = arr
+    uy = _fft_freqs(out.shape[1])[:, None]
+    ux = _fft_freqs(out.shape[2])[None, : out.shape[2] // 2 + 1]
+    ft = np.fft.rfft2(out)
+    ft *= (np.sinc(ux * tophatwidth) * np.sinc(uy[: out.shape[1]] * tophatwidth)
+           * np.exp(-2.0 * np.pi ** 2 * gaussiansigma ** 2 * (ux ** 2 + uy ** 2)))
+    return np.fft.irfft2(ft, s=out.shape[1:])
+
+
 def legendre_poly_array(porder: int, u: float, v: float) -> np.ndarray:
     """
     Products P_m(u) P_n(v) for m, n in 0..porder, flattened with x-order
@@ -143,6 +159,20 @@ def legendre_poly_array(porder: int, u: float, v: float) -> np.ndarray:
     ua = eval_legendre(m, u)
     va = eval_legendre(m, v)
     return np.outer(va, ua).ravel()
+
+
+def eval_psf_cube_batch(cube: np.ndarray, x: np.ndarray, y: np.ndarray,
+                        nside: int = 4088) -> np.ndarray:
+    """Evaluate a Legendre PSF cube at many chip positions: (S, ny, nx)."""
+    porder = int(np.round(np.sqrt(cube.shape[0]))) - 1
+    half = (nside - 1) / 2.0
+    u = (np.asarray(x) - half) / (half + 0.5)
+    v = (np.asarray(y) - half) / (half + 0.5)
+    morder = np.arange(porder + 1)
+    ua = eval_legendre(morder[None, :], u[:, None])   # (S, p+1)
+    va = eval_legendre(morder[None, :], v[:, None])
+    lp = (va[:, :, None] * ua[:, None, :]).reshape(len(u), -1)  # (S, (p+1)^2)
+    return np.tensordot(lp, cube, axes=(1, 0))
 
 
 def eval_psf_cube(cube: np.ndarray, x: float, y: float, nside: int = 4088) -> np.ndarray:

@@ -1,0 +1,240 @@
+"""
+PSF groups, overlap arrays, and system-matrix assembly (device-resident).
+
+Counterpart of reference src/pyimcom/psfutil.py (PSFGrp/PSFOvl/SysMatA/
+SysMatB), re-organized for TPU execution:
+
+* A **PSF group** holds the PSFs of all input images contributing to a 2x2
+  group of input postage stamps, resampled onto a common output-frame grid
+  (the WCS rotation happens in the sampling positions), plus their padded
+  rFFTs.  Sampling is one batched device interpolation; FFTs are batched.
+* An **overlap stack** between two PSF groups is the cross-correlation of
+  every PSF pair, interpolation-padded, kept on device.  System submatrices
+  are evaluated from it with a single stack-indexed gather-interpolation per
+  stamp pair -- the per-(image-pair) C loops of the reference
+  (psfutil.py:1401-1732) become one `interp2d_stack` call.
+* Caches are reference-counted via the same two-pass (simulation, then
+  real) scheme as the reference so device memory for overlap stacks and
+  submatrices is bounded.
+
+Shapes: nsamp = npixpsf*oversamp - 1 samples per axis, FFT grid
+nfft = 2*npixpsf*oversamp, overlap window nsamp (2*nc+1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import Settings as Stn
+from .ops import psfmodels
+from .ops.fourier import apply_amp_penalty, overlap_from_rft, pad_and_rfft2
+
+INTERP_PAD = 6  # guard pixels for the 10x10 interpolation kernel
+
+
+class PSFGeometry:
+    """Static geometry of PSF sampling and overlap arrays for one run."""
+
+    def __init__(self, npixpsf: int = 48, oversamp: int = 8,
+                 dtheta: float = 0.025 / 3600, psfsplit: bool = False):
+        self.npixpsf = npixpsf
+        self.oversamp = oversamp
+        self.nsamp = npixpsf * oversamp - 1
+        self.nc_samp = self.nsamp // 2
+        self.nfft = npixpsf * oversamp * 2
+        # sample spacing in output pixels
+        self.dscale = (Stn.pixscale_native / Stn.arcsec) / oversamp / (dtheta * 3600)
+        self.psfsplit = psfsplit
+        # overlap window: doubled when PSF splitting is on (psfutil.py:1088)
+        self.novl = 2 * self.nsamp + 1 if psfsplit else self.nsamp
+        self.nc_ovl = self.novl // 2
+
+        # unrotated sampling offsets (in samples), center 0
+        c = (self.nsamp - 1) / 2.0
+        ax = np.arange(self.nsamp, dtype=np.float64) - c
+        self.yo = ax  # 1D; the 2D grid is the outer product
+        self.xo = ax
+
+
+class PSFGroup:
+    """
+    A group of PSFs sampled on the common overlap grid, with their rFFTs.
+
+    Parameters
+    ----------
+    geom : PSFGeometry
+    psf_arr : (n_psf, nsamp, nsamp) numpy array of sampled PSFs.
+    idx_blk2grp / idx_grp2blk : optional maps between block-level input-image
+        indices and the group's PSF slots (input groups only).
+    """
+
+    def __init__(self, geom: PSFGeometry, psf_arr: np.ndarray,
+                 idx_blk2grp=None, idx_grp2blk=None,
+                 psf_circ=False, psf_norm=False, amp_penalty=(0.0, 0.0)):
+        import jax.numpy as jnp
+
+        self.geom = geom
+        self.n_psf = psf_arr.shape[0]
+        self.idx_blk2grp = idx_blk2grp
+        self.idx_grp2blk = idx_grp2blk
+
+        if psf_circ:
+            yy, xx = np.meshgrid(geom.yo, geom.xo, indexing="ij")
+            psf_arr = psf_arr * (np.hypot(yy, xx) < geom.nc_samp + 0.5)
+        if psf_norm:
+            psf_arr = psf_arr / psf_arr.sum(axis=(-2, -1), keepdims=True)
+
+        rft = pad_and_rfft2(jnp.asarray(psf_arr), geom.nfft)
+        if amp_penalty and amp_penalty[0] != 0.0 and amp_penalty[1] != 0.0:
+            rft = apply_amp_penalty(rft, geom.nfft, amp_penalty[0],
+                                    amp_penalty[1] * geom.oversamp)
+        self.psf_rft = rft  # (n_psf, nfft, nfft//2+1), device
+
+    def clear(self):
+        self.psf_rft = None
+
+
+def sample_psf_rotated(geom: PSFGeometry, psf: np.ndarray,
+                       outpix2world2inpix, compute_point_pix) -> np.ndarray:
+    """
+    Sample one input PSF onto the output-frame grid.
+
+    The sampling positions are the unrotated grid mapped through the
+    output->input WCS chain so the sampled PSF is expressed in output-frame
+    orientation (reference PSFGrp._sample_psf, psfutil.py:709-795).
+
+    psf : oversampled PSF image (ny, nx), centered at ((ny-1)/2, (nx-1)/2).
+    """
+    import jax.numpy as jnp
+
+    from .ops.interp import interp2d
+
+    ny, nx = psf.shape[-2:]
+    xctr = (nx - 1) / 2.0
+    yctr = (ny - 1) / 2.0
+
+    # grid offsets in output pixels -> input-pixel offsets via WCS -> samples
+    yy, xx = np.meshgrid(geom.yo, geom.xo, indexing="ij")
+    xyo = np.stack([xx.ravel(), yy.ravel()], axis=-1) * geom.dscale
+    inpix = outpix2world2inpix(xyo + np.asarray(compute_point_pix)[None, :])
+    inpix = inpix - outpix2world2inpix(np.asarray([compute_point_pix]))
+    qx = inpix[:, 0] * geom.oversamp + xctr + INTERP_PAD
+    qy = inpix[:, 1] * geom.oversamp + yctr + INTERP_PAD
+
+    psf_pad = np.pad(psf, INTERP_PAD)
+    out = interp2d(jnp.asarray(psf_pad), jnp.asarray(qx), jnp.asarray(qy))
+    return np.asarray(out).reshape(geom.nsamp, geom.nsamp)
+
+
+def sample_psf_unrotated(geom: PSFGeometry, psfs: np.ndarray) -> np.ndarray:
+    """Sample output PSFs on the unrotated grid (reference psfutil.py:784-795)."""
+    import jax.numpy as jnp
+
+    from .ops.interp import grid_interp
+
+    n_psf = psfs.shape[0]
+    ny, nx = psfs.shape[-2:]
+    xctr = (nx - 1) / 2.0
+    yctr = (ny - 1) / 2.0
+    out = np.zeros((n_psf, geom.nsamp, geom.nsamp))
+    x = (geom.xo + xctr + INTERP_PAD)[None, :]
+    y = (geom.yo + yctr + INTERP_PAD)[None, :]
+    for i in range(n_psf):
+        res = grid_interp(jnp.asarray(np.pad(psfs[i], INTERP_PAD)),
+                          jnp.asarray(x), jnp.asarray(y))
+        out[i] = np.asarray(res)[0]
+    return out
+
+
+def build_overlap_stack(geom: PSFGeometry, grp1: PSFGroup, grp2: PSFGroup | None):
+    """
+    Overlap (cross-correlation) images for every PSF pair of two groups,
+    padded for interpolation; kept on device.
+
+    Returns a jnp array of shape (n1*n2, novl+2p, novl+2p); pair (i, j)
+    of (grp1, grp2) is at index i*n2 + j.  grp2=None means self-overlap.
+    """
+    import jax.numpy as jnp
+
+    g2 = grp2 if grp2 is not None else grp1
+    rft1 = grp1.psf_rft[:, None]       # (n1, 1, ...)
+    rft2 = g2.psf_rft[None, :]         # (1, n2, ...)
+    ovl = overlap_from_rft(rft1, rft2, geom.novl, geom.nfft)  # (n1, n2, novl, novl)
+    n1, n2 = ovl.shape[:2]
+    ovl = jnp.pad(ovl.reshape(n1 * n2, geom.novl, geom.novl),
+                  ((0, 0), (INTERP_PAD, INTERP_PAD), (INTERP_PAD, INTERP_PAD)))
+    return ovl
+
+
+def outpsf_C_values(geom: PSFGeometry, outgrp: PSFGroup) -> np.ndarray:
+    """Target normalizations C: zero-lag self-overlap per output PSF."""
+    ovl = overlap_from_rft(outgrp.psf_rft, outgrp.psf_rft, geom.novl, geom.nfft)
+    return np.asarray(ovl[:, geom.nc_ovl, geom.nc_ovl])
+
+
+def interp_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, x2, y2, img2,
+                     blk2grp1, blk2grp2, n_psf2: int,
+                     flat_penalty: float, n_in_eff: float):
+    """
+    Evaluate a system submatrix block from an overlap stack.
+
+    A[p, q] = Ovl[g1(p), g2(q)]((x1[p]-x2[q])/dscale, (y1[p]-y2[q])/dscale)
+              - flat_penalty/n_in_eff + flat_penalty * [img1(p) == img2(q)]
+
+    (reference PSFOvl._call_ii_cross / _call_ii_self, psfutil.py:1401-1732).
+
+    x/y are positions in output pixels; img* are block-level image indices;
+    blk2grp* map them to PSF slots.  Returns an (n1, n2) numpy array.
+    """
+    import jax.numpy as jnp
+
+    from .ops.interp import interp2d_stack
+
+    n1, n2 = len(x1), len(x2)
+    if n1 == 0 or n2 == 0:
+        return np.zeros((n1, n2))
+    ddx = (x1[:, None] - x2[None, :]) / geom.dscale + geom.nc_ovl + INTERP_PAD
+    ddy = (y1[:, None] - y2[None, :]) / geom.dscale + geom.nc_ovl + INTERP_PAD
+    g1 = blk2grp1[img1]
+    g2 = blk2grp2[img2]
+    which = (g1[:, None] * n_psf2 + g2[None, :]).astype(np.int32)
+
+    vals = interp2d_stack(ovl_stack, jnp.asarray(ddx.ravel()),
+                          jnp.asarray(ddy.ravel()), jnp.asarray(which.ravel()))
+    res = np.asarray(vals).reshape(n1, n2)
+
+    if flat_penalty != 0.0:
+        res = res - flat_penalty / n_in_eff
+        res = res + flat_penalty * (img1[:, None] == img2[None, :])
+    return res
+
+
+def interp_io_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, blk2grp1,
+                        out_x, out_y, n_out: int):
+    """
+    Input-output submatrix: overlap of each input pixel's PSF with each
+    target PSF, evaluated at separations to the output grid points
+    (reference PSFOvl._call_io_cross, psfutil.py:1497-1595).
+
+    out_x, out_y : (m,) output pixel positions (integers on the block grid).
+    Returns (n_out, m, n1).
+    """
+    import jax.numpy as jnp
+
+    from .ops.interp import interp2d_stack
+
+    n1 = len(x1)
+    m = len(out_x)
+    res = np.zeros((n_out, m, n1))
+    if n1 == 0:
+        return res
+    ddx = (x1[:, None] - out_x[None, :]) / geom.dscale + geom.nc_ovl + INTERP_PAD
+    ddy = (y1[:, None] - out_y[None, :]) / geom.dscale + geom.nc_ovl + INTERP_PAD
+    g1 = blk2grp1[img1]
+    for j_out in range(n_out):
+        which = (g1[:, None] * n_out + j_out) * np.ones((1, m), dtype=np.int64)
+        vals = interp2d_stack(ovl_stack, jnp.asarray(ddx.ravel()),
+                              jnp.asarray(ddy.ravel()),
+                              jnp.asarray(which.ravel().astype(np.int32)))
+        res[j_out] = np.asarray(vals).reshape(n1, m).T
+    return res

@@ -193,9 +193,11 @@ def _reduced_T_weights(Npq, DoverC, EoverC, nodes, ucmin, smax, niter: int = 12)
         factor = jnp.sqrt(factor)
         return kappamid, factor, w, S, UC
 
-    w0 = jnp.zeros((m, nv), dtype=dtype)
-    S0 = jnp.zeros((m,), dtype=dtype)
-    UC0 = jnp.zeros((m,), dtype=dtype)
+    # derive the initial carry from the inputs (not fresh constants) so the
+    # loop stays valid under shard_map's varying-axis type system
+    w0 = DoverC * 0.0
+    S0 = DoverC[:, 0] * 0.0
+    UC0 = DoverC[:, 0] * 0.0
     kappamid, _, w, S, UC = jax.lax.fori_loop(0, niter, body,
                                               (kappamid, factor, w0, S0, UC0))
     # kappa reported after the final update step, S/UC/w from the final solve
