@@ -968,12 +968,22 @@ class Block:
             Bi = jnp.asarray(Bp)
         Ci = jnp.asarray(C)
 
+        # 'mixed' (f32 factor + refinement) is opt-in: it needs
+        # cond(A + kappa I) * eps_f32 < 1, which small kappaC nodes violate.
+        use_mixed = getattr(cfg, "solver_prec", "auto") == "mixed"
+
         if kind == "Eigen":
             T, kappa, Sigma, UC = KERNELS["Eigen"](Ai, Bi, Ci, kappaC,
                                                    cfg.uctarget, cfg.sigmamax)
         elif kind == "Cholesky":
-            T, kappa, Sigma, UC = KERNELS["Cholesky"](Ai, Bi, Ci, kappaC,
-                                                      cfg.uctarget, cfg.sigmamax)
+            if use_mixed:
+                from .solvers import cholesky_solve_mixed
+
+                T, kappa, Sigma, UC = cholesky_solve_mixed(
+                    Ai, Bi, Ci, kappaC, cfg.uctarget, cfg.sigmamax)
+            else:
+                T, kappa, Sigma, UC = KERNELS["Cholesky"](Ai, Bi, Ci, kappaC,
+                                                          cfg.uctarget, cfg.sigmamax)
         elif kind == "Iterative":
             relevant = jnp.asarray(dist < rho_acc)
             T, kappa, Sigma, UC = KERNELS["Iterative"](

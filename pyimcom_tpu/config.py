@@ -168,6 +168,7 @@ _DEFAULT_CONFIG = {
     "ITERMAX": 30,
     "EMPIRNQC": False,
     "KAPPAC": [1e-5, 1e-4, 1e-3],
+    "SOLVERPREC": "auto",
     "UCMIN": 1e-6,
     "SMAX": 0.5,
     # SECTION IX: destriping
@@ -296,6 +297,7 @@ class Config:
         self.iter_max = raw["ITERMAX"]
         self.no_qlt_ctrl = raw["EMPIRNQC"]
         self.kappaC_arr = np.array(raw["KAPPAC"], dtype=np.float64)
+        self.solver_prec = raw["SOLVERPREC"]
         self.uctarget = raw["UCMIN"]
         self.sigmamax = raw["SMAX"]
 

@@ -189,6 +189,11 @@ def make_image_from_grid(res, inpsf, idsca, obsdata, mywcs, nside_sca, inpsf_ove
     inpsf_batch = getattr(inpsf, "__self__", None)
     inpsf_batch = getattr(inpsf_batch, "get_psf_pos_batch", None)
 
+    from .psfgrp import _use_dense
+
+    if _use_dense():
+        chunk = min(chunk, 8)  # bound the dense weight-matrix working set
+
     for start in range(0, len(idx), chunk):
         sel = idx[start:start + chunk]
         ns = len(sel)
@@ -216,11 +221,20 @@ def make_image_from_grid(res, inpsf, idsca, obsdata, mywcs, nside_sca, inpsf_ove
         qx = inpsf_oversamp * (gx - xsca[sel][:, None, None]) + ctr + p
         qy = inpsf_oversamp * (gy - ysca[sel][:, None, None]) + ctr + p
         qx, qy = np.broadcast_arrays(qx, qy)
-        which = np.broadcast_to(np.arange(ns)[:, None, None], qx.shape).astype(np.int32)
 
-        vals = np.asarray(interp2d_stack(
-            jnp.asarray(stack), jnp.asarray(qx.ravel()), jnp.asarray(qy.ravel()),
-            jnp.asarray(which.ravel()))).reshape(ns, P, P) * inpsf_oversamp ** 2
+        from .psfgrp import _use_dense
+
+        if _use_dense():
+            from .ops.interp import interp2d_dense
+
+            vals = np.asarray(interp2d_dense(
+                jnp.asarray(stack), jnp.asarray(qx.reshape(ns, -1)),
+                jnp.asarray(qy.reshape(ns, -1)))).reshape(ns, P, P) * inpsf_oversamp ** 2
+        else:
+            which = np.broadcast_to(np.arange(ns)[:, None, None], qx.shape).astype(np.int32)
+            vals = np.asarray(interp2d_stack(
+                jnp.asarray(stack), jnp.asarray(qx.ravel()), jnp.asarray(qy.ravel()),
+                jnp.asarray(which.ravel()))).reshape(ns, P, P) * inpsf_oversamp ** 2
 
         for k in range(ns):
             m = inb[k]

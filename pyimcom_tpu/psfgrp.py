@@ -122,7 +122,13 @@ def sample_psf_rotated(geom: PSFGeometry, psf: np.ndarray,
     qy = inpix[:, 1] * geom.oversamp + yctr + INTERP_PAD
 
     psf_pad = np.pad(psf, INTERP_PAD)
-    out = interp2d(jnp.asarray(psf_pad), jnp.asarray(qx), jnp.asarray(qy))
+    if _use_dense():
+        from .ops.interp import interp2d_dense
+
+        out = interp2d_dense(jnp.asarray(psf_pad)[None],
+                             jnp.asarray(qx)[None], jnp.asarray(qy)[None])[0]
+    else:
+        out = interp2d(jnp.asarray(psf_pad), jnp.asarray(qx), jnp.asarray(qy))
     return np.asarray(out).reshape(geom.nsamp, geom.nsamp)
 
 
@@ -130,8 +136,9 @@ def sample_psf_unrotated(geom: PSFGeometry, psfs: np.ndarray) -> np.ndarray:
     """Sample output PSFs on the unrotated grid (reference psfutil.py:784-795)."""
     import jax.numpy as jnp
 
-    from .ops.interp import grid_interp
+    from .ops.interp import grid_interp, grid_interp_dense
 
+    fn = grid_interp_dense if _use_dense() else grid_interp
     n_psf = psfs.shape[0]
     ny, nx = psfs.shape[-2:]
     xctr = (nx - 1) / 2.0
@@ -140,8 +147,8 @@ def sample_psf_unrotated(geom: PSFGeometry, psfs: np.ndarray) -> np.ndarray:
     x = (geom.xo + xctr + INTERP_PAD)[None, :]
     y = (geom.yo + yctr + INTERP_PAD)[None, :]
     for i in range(n_psf):
-        res = grid_interp(jnp.asarray(np.pad(psfs[i], INTERP_PAD)),
-                          jnp.asarray(x), jnp.asarray(y))
+        res = fn(jnp.asarray(np.pad(psfs[i], INTERP_PAD)),
+                 jnp.asarray(x), jnp.asarray(y))
         out[i] = np.asarray(res)[0]
     return out
 
@@ -172,6 +179,71 @@ def outpsf_C_values(geom: PSFGeometry, outgrp: PSFGroup) -> np.ndarray:
     return np.asarray(ovl[:, geom.nc_ovl, geom.nc_ovl])
 
 
+def _use_dense() -> bool:
+    """Gather-free matmul interpolation on accelerators; gathers on CPU."""
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+# query-count buckets and rectangle batch size for the dense path
+_DENSE_BUCKETS = (1024, 4096, 16384)
+_DENSE_RBATCH = 8
+
+
+def _interp_rects_dense(ovl_stack, rects):
+    """
+    Evaluate scattered-query rectangles against per-rectangle overlap images
+    using the gather-free dense kernel, batched and bucket-padded so only a
+    handful of shapes ever compile.
+
+    rects : list of (k, qx, qy) -- stack index and flat numpy query arrays.
+    Returns a list of flat numpy value arrays.
+    """
+    import jax.numpy as jnp
+    from collections import defaultdict
+
+    from .ops.interp import interp2d_dense
+
+    results = [np.zeros(len(qx)) for (_k, qx, _qy) in rects]
+    pieces = []
+    maxb = _DENSE_BUCKETS[-1]
+    for rid, (k, qx, qy) in enumerate(rects):
+        for off in range(0, len(qx), maxb):
+            q1 = qx[off:off + maxb]
+            bucket = next(b for b in _DENSE_BUCKETS if b >= len(q1))
+            pieces.append((rid, off, k, q1, qy[off:off + maxb], bucket))
+
+    groups = defaultdict(list)
+    for p in pieces:
+        groups[p[5]].append(p)
+    for bucket, plist in groups.items():
+        for i0 in range(0, len(plist), _DENSE_RBATCH):
+            batch = plist[i0:i0 + _DENSE_RBATCH]
+            xq = np.full((_DENSE_RBATCH, bucket), -100.0)
+            yq = np.full((_DENSE_RBATCH, bucket), -100.0)
+            ks = [0] * _DENSE_RBATCH
+            for j, (rid, off, k, q1, q2, _b) in enumerate(batch):
+                xq[j, :len(q1)] = q1
+                yq[j, :len(q2)] = q2
+                ks[j] = k
+            imgs = jnp.stack([ovl_stack[k] for k in ks])
+            vals = np.asarray(interp2d_dense(imgs, jnp.asarray(xq), jnp.asarray(yq)))
+            for j, (rid, off, _k, q1, _q2, _b) in enumerate(batch):
+                results[rid][off:off + len(q1)] = vals[j, :len(q1)]
+    return results
+
+
+def _image_runs(img_idx):
+    """Contiguous runs of equal image index: list of (im, start, end)."""
+    if len(img_idx) == 0:
+        return []
+    change = np.nonzero(np.diff(img_idx))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(img_idx)]])
+    return [(int(img_idx[s]), int(s), int(e)) for s, e in zip(starts, ends)]
+
+
 def interp_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, x2, y2, img2,
                      blk2grp1, blk2grp2, n_psf2: int,
                      flat_penalty: float, n_in_eff: float):
@@ -193,15 +265,34 @@ def interp_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, x2, y2, img2,
     n1, n2 = len(x1), len(x2)
     if n1 == 0 or n2 == 0:
         return np.zeros((n1, n2))
-    ddx = (x1[:, None] - x2[None, :]) / geom.dscale + geom.nc_ovl + INTERP_PAD
-    ddy = (y1[:, None] - y2[None, :]) / geom.dscale + geom.nc_ovl + INTERP_PAD
-    g1 = blk2grp1[img1]
-    g2 = blk2grp2[img2]
-    which = (g1[:, None] * n_psf2 + g2[None, :]).astype(np.int32)
+    off = geom.nc_ovl + INTERP_PAD
 
-    vals = interp2d_stack(ovl_stack, jnp.asarray(ddx.ravel()),
-                          jnp.asarray(ddy.ravel()), jnp.asarray(which.ravel()))
-    res = np.asarray(vals).reshape(n1, n2)
+    if _use_dense():
+        # per-image-pair rectangles (pixels are image-sorted within a stamp)
+        runs1 = _image_runs(img1)
+        runs2 = _image_runs(img2)
+        rects = []
+        slices = []
+        for im1, s1, e1 in runs1:
+            for im2, s2, e2 in runs2:
+                ddx = (x1[s1:e1, None] - x2[None, s2:e2]) / geom.dscale + off
+                ddy = (y1[s1:e1, None] - y2[None, s2:e2]) / geom.dscale + off
+                k = int(blk2grp1[im1]) * n_psf2 + int(blk2grp2[im2])
+                rects.append((k, ddx.ravel(), ddy.ravel()))
+                slices.append((s1, e1, s2, e2))
+        vals = _interp_rects_dense(ovl_stack, rects)
+        res = np.zeros((n1, n2))
+        for (s1, e1, s2, e2), v in zip(slices, vals):
+            res[s1:e1, s2:e2] = v.reshape(e1 - s1, e2 - s2)
+    else:
+        ddx = (x1[:, None] - x2[None, :]) / geom.dscale + off
+        ddy = (y1[:, None] - y2[None, :]) / geom.dscale + off
+        g1 = blk2grp1[img1]
+        g2 = blk2grp2[img2]
+        which = (g1[:, None] * n_psf2 + g2[None, :]).astype(np.int32)
+        vals = interp2d_stack(ovl_stack, jnp.asarray(ddx.ravel()),
+                              jnp.asarray(ddy.ravel()), jnp.asarray(which.ravel()))
+        res = np.asarray(vals).reshape(n1, n2)
 
     if flat_penalty != 0.0:
         res = res - flat_penalty / n_in_eff
@@ -228,9 +319,24 @@ def interp_io_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, blk2grp1,
     res = np.zeros((n_out, m, n1))
     if n1 == 0:
         return res
-    ddx = (x1[:, None] - out_x[None, :]) / geom.dscale + geom.nc_ovl + INTERP_PAD
-    ddy = (y1[:, None] - out_y[None, :]) / geom.dscale + geom.nc_ovl + INTERP_PAD
+    off = geom.nc_ovl + INTERP_PAD
+    ddx = (x1[:, None] - out_x[None, :]) / geom.dscale + off
+    ddy = (y1[:, None] - out_y[None, :]) / geom.dscale + off
     g1 = blk2grp1[img1]
+
+    if _use_dense():
+        rects = []
+        slices = []
+        for im1, s1, e1 in _image_runs(img1):
+            for j_out in range(n_out):
+                k = int(blk2grp1[im1]) * n_out + j_out
+                rects.append((k, ddx[s1:e1].ravel(), ddy[s1:e1].ravel()))
+                slices.append((j_out, s1, e1))
+        vals = _interp_rects_dense(ovl_stack, rects)
+        for (j_out, s1, e1), v in zip(slices, vals):
+            res[j_out, :, s1:e1] = v.reshape(e1 - s1, m).T
+        return res
+
     for j_out in range(n_out):
         which = (g1[:, None] * n_out + j_out) * np.ones((1, m), dtype=np.int64)
         vals = interp2d_stack(ovl_stack, jnp.asarray(ddx.ravel()),

@@ -250,6 +250,70 @@ def cholesky_solve(A, mBhalf, C, kappaC, ucmin, smax):
     return T, kappa, Sigma, UC
 
 
+@functools.partial(jax.jit, static_argnames=("refine",))
+def cholesky_solve_mixed(A, mBhalf, C, kappaC, ucmin, smax, refine: int = 2):
+    """
+    Mixed-precision Cholesky kernel for TPU.
+
+    TPU float64 matmuls run ~1000x off MXU peak (software emulation), while
+    float32 hits the MXU.  This kernel factors A + kappa I and solves in
+    float32, then performs `refine` steps of iterative refinement with the
+    residual accumulated in float64:
+
+        r = mBhalf - T (A + kappa I)   [f64]
+        T <- T + (A + kappa I)^{-1} r  [f32 solve]
+
+    Each step contracts the error by ~eps_f32 * cond(A + kappa I); two steps
+    reach the f64 roundoff floor for the kappa-regularized systems IMCOM
+    produces (cond ~ 1/kappaC ~ 1e4..1e5).  The node cross products and the
+    per-pixel node-weight search then run in f64 (cheap: nv x nv).
+
+    Same contract as :func:`cholesky_solve`.
+    """
+    n = A.shape[0]
+    nv = kappaC.shape[0]
+    n_out = C.shape[0]
+    f32 = jnp.float32
+    A32 = A.astype(f32)
+    eye32 = jnp.eye(n, dtype=f32)
+
+    def solve_one_output(j):
+        kappa_arr = kappaC * C[j]
+        mb = mBhalf[j]
+        mb32 = mb.astype(f32)
+
+        def node_solve(kap):
+            L = cholesky(A32 + kap.astype(f32) * eye32, lower=True)
+            T = cho_solve((L, True), mb32.T).T                     # (m, n) f32
+            T64 = T.astype(A.dtype)
+
+            def refine_step(_, T64):
+                r = mb - T64 @ A - kap * T64                       # f64 residual
+                d = cho_solve((L, True), r.astype(f32).T).T
+                return T64 + d.astype(A.dtype)
+
+            return jax.lax.fori_loop(0, refine, refine_step, T64)
+
+        Tpi = jax.vmap(node_solve)(kappa_arr)                      # (nv, m, n) f64
+
+        if nv == 1:
+            Ti = Tpi[0]
+            D = jnp.einsum("ai,ai->a", mb, Ti)
+            N = jnp.einsum("ai,ai->a", Ti, Ti)
+            kap = kappa_arr[0]
+            return (Ti, jnp.full(D.shape, kap, A.dtype), N,
+                    1.0 - (kap * N + D) / C[j])
+
+        Dp, Npq, Epq = _node_cross_products(A, mb, Tpi, kappa_arr, exact_E=False)
+        kappamid, S, UC, w = _reduced_T_weights(Npq, Dp / C[j], Epq / C[j],
+                                                kappaC, ucmin, smax)
+        T = jnp.einsum("pai,ap->ai", Tpi, w)
+        return T, kappamid * C[j], S, UC
+
+    T, kappa, Sigma, UC = jax.vmap(solve_one_output)(jnp.arange(n_out))
+    return T, kappa, Sigma, UC
+
+
 # ---------------------------------------------------------------------------
 # Iterative (masked conjugate gradient) kernel
 # ---------------------------------------------------------------------------

@@ -187,3 +187,26 @@ def test_padding_neutrality(system):
     assert np.max(np.abs(np.asarray(T1[:, :, n:]))) < 1e-14
     np.testing.assert_allclose(np.asarray(U1), np.asarray(U0), rtol=0, atol=1e-10)
     np.testing.assert_allclose(np.asarray(S1), np.asarray(S0), rtol=0, atol=1e-10)
+
+
+def test_mixed_precision_matches_f64(system):
+    """f32 factorization + f64-residual refinement: converges to f64 when
+    cond(A + kappa I) * eps_f32 < 1 (larger kappa nodes); degrades gracefully
+    for tiny kappa (which is why 'mixed' is opt-in, not the default)."""
+    from pyimcom_tpu.solvers import cholesky_solve_mixed
+
+    A, mBhalf, C, _ = system
+    # well-conditioned node: tight agreement
+    kappaC = jnp.array([5e-2])
+    T0, k0, S0, U0 = cholesky_solve(A, mBhalf, C, kappaC, UCMIN, SMAX)
+    T1, k1, S1, U1 = cholesky_solve_mixed(A, mBhalf, C, kappaC, UCMIN, SMAX,
+                                          refine=3)
+    assert np.max(np.abs(np.asarray(T1) - np.asarray(T0))) < 1e-10
+    assert np.max(np.abs(np.asarray(U1) - np.asarray(U0))) < 1e-11
+    # production-like small node: quality maps still agree to the UC scale
+    kappaC = jnp.array([5e-4])
+    T0, k0, S0, U0 = cholesky_solve(A, mBhalf, C, kappaC, UCMIN, SMAX)
+    T1, k1, S1, U1 = cholesky_solve_mixed(A, mBhalf, C, kappaC, UCMIN, SMAX,
+                                          refine=3)
+    assert np.max(np.abs(np.asarray(U1) - np.asarray(U0))) < 1e-6
+    assert np.max(np.abs(np.asarray(S1) - np.asarray(S0))) < 1e-4
