@@ -1,0 +1,383 @@
+"""
+Output-side analysis API: block readers, mosaics, weight maps, noise and
+star statistics.
+
+Counterpart of reference src/pyimcom/analysis.py (OutImage/Mosaic/Suite/
+NoiseAnal/StarsAnal).  Reads block FITS files (compressed or not) through
+the framework's own FITS layer, decodes the log-quantized quality maps via
+their bel-unit headers, and implements the padding-stamp halo exchange
+between adjacent blocks.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import numpy as np
+
+from .compress import ReadFile
+from .config import Config
+from .fitsio import fits_read
+
+_UNIT_PREFIX = {"": 1.0, "m": 1e-3, "u": 1e-6, "n": 1e-9, "d": 1e-1, "c": 1e-2}
+
+
+def unit_to_bels(unit: str) -> float:
+    """
+    Bels per integer count from a UNIT string like '-0.2mB' or '5uB'
+    (reference diagnostics/outimage_utils/helper.py:19).
+    """
+    m = re.match(r"^([+-]?[0-9.]+)([a-z]?)B$", unit.strip())
+    if not m:
+        raise ValueError(f"cannot parse unit {unit!r}")
+    return float(m.group(1)) * _UNIT_PREFIX[m.group(2)]
+
+
+def decode_quality_map(data: np.ndarray, unit: str) -> np.ndarray:
+    """Decode a log-quantized (u)int16 map to linear values."""
+    bels = unit_to_bels(unit)
+    coef = 1.0 / bels  # counts per bel
+    out = np.power(10.0, np.asarray(data, dtype=np.float64) * bels).astype(np.float32)
+    if data.dtype in (np.dtype("uint16"), np.dtype(">u2")):
+        a_min, a_max = 0, 65535
+    else:
+        a_min, a_max = -32768, 32767
+    a_zero = a_min if coef > 0 else a_max
+    out[data == a_zero] = 0.0
+    return out
+
+
+class OutImage:
+    """
+    Wrapper for one coadded block file.
+
+    Parameters
+    ----------
+    fpath : path to the block FITS file (plain or compressed).
+    cfg : optional Config (read from the CONFIG HDU if omitted).
+    """
+
+    MAP_HDUS = ["FIDELITY", "SIGMA", "KAPPA", "INWTSUM", "EFFCOVER"]
+
+    @staticmethod
+    def get_hdu_names(outmaps: str):
+        names = ["PRIMARY", "CONFIG", "INDATA", "INWEIGHT", "INWTFLAT"]
+        for flag, name in zip("USKTN", OutImage.MAP_HDUS):
+            if flag in outmaps:
+                names.append(name)
+        return names
+
+    def __init__(self, fpath, cfg: Config = None, hdu_names=None):
+        self.fpath = str(fpath)
+        self.cfg = cfg
+        if cfg is None:
+            self.cfg = Config(self.fpath, inmode="block")
+            self.header = None
+        self.cfg()
+        self.hdu_names = hdu_names or OutImage.get_hdu_names(self.cfg.outmaps)
+
+        hdr = fits_read(self.fpath)["CONFIG"].header
+        if "BLOCKX" in hdr and "BLOCKY" in hdr:
+            self.ibx = int(hdr["BLOCKX"])
+            self.iby = int(hdr["BLOCKY"])
+        else:
+            stem = Path(self.fpath).stem
+            if stem.endswith("_map"):
+                stem = stem[:-4]
+            self.ibx, self.iby = map(int, stem.split("_")[-2:])
+
+    # ----- loading ----------------------------------------------------------
+
+    def load(self):
+        if not hasattr(self, "hdu_list"):
+            self.hdu_list = ReadFile(self.fpath)
+        return self.hdu_list
+
+    def unload(self):
+        if hasattr(self, "hdu_list"):
+            del self.hdu_list
+
+    def save(self, fpath=None):
+        from .fitsio import fits_write
+
+        fits_write(fpath or self.fpath, self.load())
+
+    @staticmethod
+    def get_last_line(fname):
+        with open(fname) as f:
+            last = ""
+            for line in f:
+                last = line
+        return last
+
+    def get_time_consump(self) -> float:
+        """Block wall time parsed from the job log (reference analysis.py:166)."""
+        fname = self.fpath.replace(".fits", ".out")
+        try:
+            m = re.match(r"finished at t = ([0-9.]+) s", OutImage.get_last_line(fname))
+            return float(m.group(1))
+        except (FileNotFoundError, AttributeError):
+            return np.nan
+
+    # ----- data access ------------------------------------------------------
+
+    def layer_index(self, layer: str) -> int:
+        """Index of a named layer in EXTRAINPUT (SCI = index 0)."""
+        if layer in (None, "SCI", "sci"):
+            return 0
+        for i, spec in enumerate(self.cfg.extrainput):
+            if spec is not None and spec.split(",")[0].lower() == layer.lower():
+                return i
+        raise KeyError(f"layer {layer!r} not found")
+
+    def get_coadded_layer(self, layer, j_out: int = 0) -> np.ndarray:
+        """One coadded layer image, (NsideP, NsideP)."""
+        idx = layer if isinstance(layer, (int, np.integer)) else self.layer_index(layer)
+        return np.asarray(self.load()[0].data[j_out, idx])
+
+    def get_T_weightmap(self, j_out: int = 0) -> np.ndarray:
+        """(n_inimage, n1P, n1P) total-weight map per input exposure."""
+        data = self.load()["INWEIGHT"].data
+        return np.asarray(data[j_out])
+
+    def get_mean_coverage(self, padding: bool = False) -> float:
+        tw = self.get_T_weightmap(0)
+        pad = self.cfg.postage_pad
+        if not padding and pad > 0:
+            tw = tw[:, pad:-pad, pad:-pad]
+        return float(np.mean(np.sum(tw.astype(bool), axis=0)))
+
+    def get_output_map(self, outmap: str, j_out=0) -> np.ndarray:
+        """Decode a quality map (FIDELITY/SIGMA/KAPPA/INWTSUM/EFFCOVER)."""
+        assert outmap in OutImage.MAP_HDUS, f"map {outmap!r} not supported"
+        hdu = self.load()[outmap]
+        unit = str(hdu.header["UNIT"])
+        sl = np.s_[j_out] if j_out is not None else np.s_[:]
+        return decode_quality_map(np.asarray(hdu.data[sl]), unit)
+
+    def get_weight_map(self, noise_layer) -> np.ndarray:
+        """
+        Inverse-variance weight map from a coadded noise layer and the Sigma
+        map (reference analysis.py:539-563).
+        """
+        noise_image = self.get_coadded_layer(noise_layer)
+        Sigma = self.get_output_map("SIGMA")
+        scale = np.sum(np.square(noise_image))
+        corr_var = (scale / np.sum(Sigma)) * Sigma
+        with np.errstate(divide="ignore"):
+            w = 1.0 / corr_var
+        w[~np.isfinite(w)] = 0.0
+        return w
+
+    # ----- padding-stamp halo exchange --------------------------------------
+
+    def _update_hdu_data(self, neighbor: "OutImage", direction: str,
+                         add_mode: bool = True) -> None:
+        """
+        Merge the shared padding-stamp region from an adjacent block
+        (reference analysis.py:394-537).  The TPU-native mosaic runner maps
+        this onto a halo exchange over the block mesh; here it is the
+        post-pass form operating on files.
+        """
+        from .coadd import compress_map, trapezoid
+
+        assert direction in ("left", "right", "bottom", "top")
+        cfg = self.cfg
+        NsideP = cfg.NsideP
+        width = cfg.postage_pad * cfg.n2
+        fk = cfg.fade_kernel
+        me = self.load()
+        ur = neighbor.load()
+
+        if direction == "left":
+            my_sl = np.s_[:, :, :, 0:width + fk]
+            ur_sl = np.s_[:, :, :, NsideP - width * 2:NsideP - width + fk]
+        elif direction == "right":
+            my_sl = np.s_[:, :, :, NsideP - width - fk:NsideP]
+            ur_sl = np.s_[:, :, :, width - fk:width * 2]
+        elif direction == "bottom":
+            my_sl = np.s_[:, :, 0:width + fk, :]
+            ur_sl = np.s_[:, :, NsideP - width * 2:NsideP - width + fk, :]
+        else:
+            my_sl = np.s_[:, :, NsideP - width - fk:NsideP, :]
+            ur_sl = np.s_[:, :, width - fk:width * 2, :]
+
+        me[0].data = np.array(me[0].data)
+        me[0].data[my_sl] = me[0].data[my_sl] * add_mode + ur[0].data[ur_sl]
+
+        # INWEIGHT: copy the neighbor's better-covered padding stamps
+        n1P = cfg.n1P
+        pad = cfg.postage_pad
+        my_ids = list(zip(me["INDATA"]["obsid"], me["INDATA"]["sca"]))
+        ur_ids = list(zip(ur["INDATA"]["obsid"], ur["INDATA"]["sca"]))
+        me["INWEIGHT"].data = np.array(me["INWEIGHT"].data)
+        for idsca in set(my_ids) & set(ur_ids):
+            mi = my_ids.index(idsca)
+            ui = ur_ids.index(idsca)
+            if direction == "left":
+                msl = np.s_[:, mi, :, 0:pad]
+                usl = np.s_[:, ui, :, n1P - pad * 2:n1P - pad]
+            elif direction == "right":
+                msl = np.s_[:, mi, :, n1P - pad:n1P]
+                usl = np.s_[:, ui, :, pad:pad * 2]
+            elif direction == "bottom":
+                msl = np.s_[:, mi, 0:pad, :]
+                usl = np.s_[:, ui, n1P - pad * 2:n1P - pad, :]
+            else:
+                msl = np.s_[:, mi, n1P - pad:n1P, :]
+                usl = np.s_[:, ui, pad:pad * 2, :]
+            me["INWEIGHT"].data[msl] = ur["INWEIGHT"].data[usl]
+
+        n_out, n_inimage = me["INWEIGHT"].data.shape[:2]
+        me["INWTFLAT"].data = np.transpose(
+            me["INWEIGHT"].data, axes=(0, 2, 1, 3)).reshape(
+            (n_out * n1P, n_inimage * n1P))
+
+        # quality maps: fade, add, re-encode
+        for outmap in [n for n in self.hdu_names[5:]]:
+            my_maps = self.get_output_map(outmap, None)
+            ur_maps = neighbor.get_output_map(outmap, None)
+            if direction == "left":
+                if add_mode:
+                    trapezoid(my_maps, fk, False, (0, 0, width - fk, 0), "L")
+                    trapezoid(ur_maps, fk, False, (0, 0, 0, width - fk), "R")
+                msl = np.s_[:, :, 0:width + fk]
+                usl = np.s_[:, :, NsideP - width * 2:NsideP - width + fk]
+            elif direction == "right":
+                if add_mode:
+                    trapezoid(my_maps, fk, False, (0, 0, 0, width - fk), "R")
+                    trapezoid(ur_maps, fk, False, (0, 0, width - fk, 0), "L")
+                msl = np.s_[:, :, NsideP - width - fk:NsideP]
+                usl = np.s_[:, :, width - fk:width * 2]
+            elif direction == "bottom":
+                if add_mode:
+                    trapezoid(my_maps, fk, False, (width - fk, 0, 0, 0), "B")
+                    trapezoid(ur_maps, fk, False, (0, width - fk, 0, 0), "T")
+                msl = np.s_[:, 0:width + fk, :]
+                usl = np.s_[:, NsideP - width * 2:NsideP - width + fk, :]
+            else:
+                if add_mode:
+                    trapezoid(my_maps, fk, False, (0, width - fk, 0, 0), "T")
+                    trapezoid(ur_maps, fk, False, (width - fk, 0, 0, 0), "B")
+                msl = np.s_[:, NsideP - width - fk:NsideP, :]
+                usl = np.s_[:, width - fk:width * 2, :]
+
+            unit = str(me[outmap].header["UNIT"])
+            coef = round(1.0 / unit_to_bels(unit) * np.log10(10.0))
+            dtype = np.uint16 if me[outmap].data.dtype in (
+                np.dtype("uint16"), np.dtype(">u2")) else np.int16
+            me[outmap].data = np.array(me[outmap].data)
+            me[outmap].data[msl] = compress_map(
+                my_maps[msl] * add_mode + ur_maps[usl], coef, dtype)
+
+
+class Mosaic:
+    """
+    A grid of OutImage blocks from one mosaic run.
+
+    Parameters
+    ----------
+    stem : output stem (files are <stem>_XX_YY.fits).
+    nblock : blocks per side (read from the first block config if omitted).
+    """
+
+    def __init__(self, stem, nblock=None, suffix=".fits"):
+        self.stem = str(stem)
+        self.suffix = suffix
+        first = self._path(0, 0)
+        cfg = Config(first, inmode="block")
+        self.cfg = cfg
+        self.nblock = nblock or cfg.nblock
+        self.images = {}
+
+    def _path(self, ibx, iby):
+        return f"{self.stem}_{ibx:02d}_{iby:02d}{self.suffix}"
+
+    def __getitem__(self, key):
+        ibx, iby = key
+        if key not in self.images:
+            self.images[key] = OutImage(self._path(ibx, iby), cfg=None)
+        return self.images[key]
+
+    def share_padding_stamps(self):
+        """
+        Halo exchange of padding stamps between all adjacent block pairs
+        (reference Mosaic.share_padding_stamps, analysis.py:1429-1467).
+        Blocks are modified in memory; call save() per image to persist.
+        """
+        nb = self.nblock
+        for ibx in range(nb):
+            for iby in range(nb):
+                me = self[ibx, iby]
+                if ibx > 0:
+                    me._update_hdu_data(self[ibx - 1, iby], "left")
+                if ibx < nb - 1:
+                    me._update_hdu_data(self[ibx + 1, iby], "right")
+                if iby > 0:
+                    me._update_hdu_data(self[ibx, iby - 1], "bottom")
+                if iby < nb - 1:
+                    me._update_hdu_data(self[ibx, iby + 1], "top")
+
+    def mean_coverage_map(self):
+        """(nblock, nblock) grid of per-block mean coverages."""
+        out = np.zeros((self.nblock, self.nblock))
+        for ibx in range(self.nblock):
+            for iby in range(self.nblock):
+                out[iby, ibx] = self[ibx, iby].get_mean_coverage()
+        return out
+
+
+class Suite:
+    """
+    A set of mosaics (multiple bands / reruns) with prime-stride block
+    sampling for unbiased spot checks (reference analysis.py:1470-1506).
+    """
+
+    PRIME_STRIDE = 691
+
+    def __init__(self, stems):
+        self.mosaics = [Mosaic(s) for s in stems]
+
+    def sample_blocks(self, n):
+        """Deterministic unbiased sample of n (ibx, iby) pairs."""
+        nb = self.mosaics[0].nblock
+        total = nb * nb
+        idx = (np.arange(n) * Suite.PRIME_STRIDE) % total
+        return [(int(i // nb), int(i % nb)) for i in idx]
+
+
+class NoiseAnal:
+    """
+    Noise power spectra of coadded noise layers
+    (reference NoiseAnal, analysis.py:565-850).
+    """
+
+    def __init__(self, outimage: OutImage, layer="whitenoise1"):
+        self.outimage = outimage
+        self.layer = layer
+
+    def power_spectrum(self, nbins: int = 32, L: int = None):
+        """
+        Azimuthally averaged 2D power spectrum of the noise layer.
+
+        Returns (k centers [cycles/pixel], P(k)).
+        """
+        img = self.outimage.get_coadded_layer(self.layer)
+        if L is not None:
+            img = img[:L, :L]
+        n = img.shape[0]
+        ft = np.fft.rfft2(img - img.mean())
+        p2 = np.abs(ft) ** 2 / n ** 2
+        ky = np.fft.fftfreq(n)[:, None]
+        kx = np.fft.rfftfreq(n)[None, :]
+        kk = np.hypot(ky, kx)
+        bins = np.linspace(0, 0.5 * np.sqrt(2), nbins + 1)
+        which = np.digitize(kk.ravel(), bins) - 1
+        pk = np.zeros(nbins)
+        kc = 0.5 * (bins[1:] + bins[:-1])
+        for b in range(nbins):
+            sel = which == b
+            if np.any(sel):
+                pk[b] = np.mean(p2.ravel()[sel])
+        return kc, pk

@@ -317,9 +317,23 @@ def _read_asciitable(hdr, buf, off):
 
 
 def fits_read(fname) -> HDUList:
-    """Read a FITS file and return an HDUList."""
-    with open(fname, "rb") as f:
-        buf = f.read()
+    """
+    Read a FITS file and return an HDUList.
+
+    `fname` may be a path (gzipped files are detected by magic), a bytes
+    object, or a binary file-like object.
+    """
+    if isinstance(fname, (bytes, bytearray)):
+        buf = bytes(fname)
+    elif hasattr(fname, "read"):
+        buf = fname.read()
+    else:
+        with open(fname, "rb") as f:
+            buf = f.read()
+    if buf[:2] == b"\x1f\x8b":
+        import gzip
+
+        buf = gzip.decompress(buf)
     if len(buf) < BLOCK or not buf.startswith(b"SIMPLE "):
         raise ValueError(f"{fname}: not a FITS file")
     hdus = HDUList()
@@ -470,8 +484,11 @@ def _bintable_bytes(hdu):
             encoded.append(e)
         else:
             dt, size = _TFORM2DTYPE[code]
-            e = np.asarray(arr).reshape(nrow, -1).astype(dt).view("u1").reshape(nrow, -1)
-            encoded.append(e)
+            if nrow == 0:
+                encoded.append(np.zeros((0, repeat * size), dtype="u1"))
+            else:
+                e = np.asarray(arr).reshape(nrow, -1).astype(dt).view("u1").reshape(nrow, -1)
+                encoded.append(e)
     rowbytes = sum(e.shape[1] for e in encoded) if encoded else 0
     raw = np.concatenate(encoded, axis=1) if encoded else np.zeros((0, 0), dtype="u1")
 
@@ -571,7 +588,7 @@ def _asciitable_bytes(hdu):
 
 
 def fits_write(fname, hdus) -> None:
-    """Write a list of HDUs to a FITS file."""
+    """Write a list of HDUs to a FITS file (gzipped when fname ends in .gz)."""
     chunks = []
     for i, hdu in enumerate(hdus):
         if hdu.is_table:
@@ -583,5 +600,10 @@ def fits_write(fname, hdus) -> None:
                 chunks.append(_bintable_bytes(hdu))
         else:
             chunks.append(_image_bytes(hdu.data, hdu.header, primary=(i == 0)))
+    payload = b"".join(chunks)
+    if str(fname).endswith(".gz"):
+        import gzip
+
+        payload = gzip.compress(payload)
     with open(fname, "wb") as f:
-        f.write(b"".join(chunks))
+        f.write(payload)

@@ -1,0 +1,146 @@
+"""Destriping tests: adjoint identity, parameter model, stripe recovery.
+
+Mirrors the reference test strategy (tests/pyimcom/test_imdestripe.py and
+test_integratedimdestripe.py): the dot-product adjoint test is the gate for
+the interpolation operators, and a synthetic multi-exposure run must
+recover injected stripes end to end.
+"""
+
+import numpy as np
+import pytest
+
+from pyimcom_tpu.imdestripe import (
+    DestripeProblem,
+    Sca_img,
+    bilinear_gather,
+    bilinear_scatter_adjoint,
+    conjugate_gradient,
+    forward_par,
+    n_params,
+    transpose_par,
+)
+from pyimcom_tpu.wcsutil import WCS
+
+SIZE = 100
+
+
+def make_wcs(offset=False, size=SIZE):
+    dx = 4e-5 * 0.25 if offset else 0.0  # quarter-ish pixel + integer shifts
+    shift = 10 * 4e-5 if offset else 0.0
+    return WCS(ctype=("RA---TAN", "DEC--TAN"), crval=(150.0, 2.0),
+               crpix=((size - 1) / 2 + (10 if offset else 0), (size - 1) / 2),
+               cd=np.array([[-4e-5, 0], [0, 4e-5]]), lonpole=180.0)
+
+
+def test_bilinear_identity():
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(SIZE, SIZE))
+    xx, yy = np.meshgrid(np.arange(SIZE, dtype=float), np.arange(SIZE, dtype=float))
+    out = bilinear_gather(img, xx, yy)
+    np.testing.assert_allclose(out[:-1, :-1], img[:-1, :-1], atol=1e-12)
+
+
+def test_adjoint_identity():
+    """<I(x), y> == <x, I^T(y)> exactly (reference test_imdestripe.py:258)."""
+    rng = np.random.default_rng(1)
+    imgB = rng.normal(size=(SIZE, SIZE))
+    imgA = rng.normal(size=(SIZE, SIZE))
+    # irregular mapping with rotation + offset
+    th = 0.1
+    xx, yy = np.meshgrid(np.arange(SIZE, dtype=float), np.arange(SIZE, dtype=float))
+    xf = np.cos(th) * (xx - 50) - np.sin(th) * (yy - 50) + 45.3
+    yf = np.sin(th) * (xx - 50) + np.cos(th) * (yy - 50) + 52.7
+    fwd = bilinear_gather(imgB, xf, yf)
+    adj = bilinear_scatter_adjoint(imgA.ravel(), xf.ravel(), yf.ravel(), imgB.shape)
+    lhs = np.sum(fwd * imgA)
+    rhs = np.sum(imgB * adj)
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+
+def test_forward_transpose_par_adjoint():
+    rng = np.random.default_rng(2)
+    shape = (32, 48)
+    p = rng.normal(size=n_params(shape, amp_cols=16))
+
+    class C:
+        amp_cols = 16
+
+    img = rng.normal(size=shape)
+    lhs = np.sum(forward_par(p, shape, 16) * img)
+    rhs = np.sum(p * transpose_par(img, C()))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+
+def _make_problem(stripes):
+    """Three offset exposures of the same smooth sky, with injected stripes."""
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE]
+    wcs_list = []
+    scas = []
+    for k, (dx, dy) in enumerate([(0, 0), (11, 4), (5, 13)]):
+        w = WCS(ctype=("RA---TAN", "DEC--TAN"), crval=(150.0, 2.0),
+                crpix=((SIZE - 1) / 2 + dx, (SIZE - 1) / 2 + dy),
+                cd=np.array([[-4e-5, 0], [0, 4e-5]]), lonpole=180.0)
+        wcs_list.append(w)
+    # common sky evaluated through each WCS (smooth function of ra, dec)
+    for k, w in enumerate(wcs_list):
+        ra, dec = w.pix2world(xx.ravel().astype(float), yy.ravel().astype(float))
+        sky = (np.sin(ra * 2000) + np.cos(dec * 3000)).reshape(SIZE, SIZE)
+        img = sky + stripes[k][:, None]
+        scas.append(Sca_img(img, w, name=f"sca{k}"))
+    neighbors = {0: [1, 2], 1: [0, 2], 2: [0, 1]}
+    return DestripeProblem(scas, neighbors)
+
+
+def test_gradient_matches_finite_difference():
+    rng = np.random.default_rng(4)
+    stripes = [rng.normal(scale=0.1, size=SIZE) for _ in range(3)]
+    prob = _make_problem(stripes)
+    p = rng.normal(scale=0.01, size=prob.offsets[-1])
+    g = prob.gradient(p)
+    for idx in [3, 57, 150, 222]:
+        h = 1e-6
+        dp = np.zeros_like(p)
+        dp[idx] = h
+        fd = (prob.cost(p + dp) - prob.cost(p - dp)) / (2 * h)
+        assert abs(fd - g[idx]) < 1e-4 * max(1.0, abs(fd)), (idx, fd, g[idx])
+
+
+def test_stripe_recovery_end_to_end():
+    """CG recovers injected stripes (up to a global offset per row-mode)."""
+    rng = np.random.default_rng(5)
+    stripes = [rng.normal(scale=0.2, size=SIZE) for _ in range(3)]
+    prob = _make_problem(stripes)
+    params, history = conjugate_gradient(prob, maxiter=25, log=lambda *a: None)
+    c_end = prob.cost(params)
+    c0 = prob.cost(np.zeros_like(params))
+    assert c_end < 1e-6 * c0  # stripe differences eliminated
+
+    # The row model has a gauge freedom: a common row-function (shifted per
+    # exposure by its dither) is indistinguishable from sky structure, so
+    # only *aligned differences* of stripes are physical.  Check those.
+    ps = prob.split(params)
+    resid = [stripes[k] - ps[k][:SIZE] for k in range(3)]  # = f(r+dy_k)+c_k
+    dys = [0, 4, 13]
+    for a, b in [(0, 1), (0, 2), (1, 2)]:
+        best = np.inf
+        for sign in (+1, -1):
+            sh = sign * (dys[b] - dys[a])
+            lo, hi = max(0, sh), min(SIZE, SIZE + sh)
+            d = resid[a][lo - sh:hi - sh] - resid[b][lo:hi]
+            best = min(best, np.std(d - np.mean(d)))
+        base = np.std(stripes[a] - np.mean(stripes[a]))
+        assert best < 0.05 * base, (a, b, best, base)
+
+
+def test_cg_restart(tmp_path):
+    rng = np.random.default_rng(6)
+    stripes = [rng.normal(scale=0.2, size=SIZE) for _ in range(3)]
+    prob = _make_problem(stripes)
+    rfile = str(tmp_path / "cg_restart.pkl")
+    p1, h1 = conjugate_gradient(prob, maxiter=3, restart_file=rfile,
+                                log=lambda *a: None)
+    p2, h2 = conjugate_gradient(prob, maxiter=6, restart_file=rfile,
+                                log=lambda *a: None)
+    assert h2[0]["iteration"] >= 3  # resumed, not restarted
+    assert prob.cost(p2) <= prob.cost(p1) + 1e-9
