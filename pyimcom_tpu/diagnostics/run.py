@@ -1,0 +1,39 @@
+"""
+Report driver: ``python -m pyimcom_tpu.diagnostics.run <block.fits> <outstem>``
+(counterpart of reference diagnostics/run.py).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .report import ValidationReport
+from .sections import LayerReport, MosaicImage, NoiseReport, SimulatedStar
+
+
+def run_report(fname, outstem, clear_all: bool = True,
+               star_layer: str = "cstar14") -> str:
+    """Build the standard validation report; returns the PDF path."""
+    rpt = ValidationReport(fname, outstem, clear_all=clear_all)
+    for cls in [MosaicImage, LayerReport, NoiseReport]:
+        s = cls(rpt)
+        s.build()
+        rpt.addsections([s])
+    s = SimulatedStar(rpt, layer=star_layer)
+    s.build()
+    rpt.addsections([s])
+    return rpt.compile()
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 2:
+        print("usage: python -m pyimcom_tpu.diagnostics.run <block.fits> <outstem>")
+        return 1
+    pdf = run_report(argv[0], argv[1])
+    print("report written to", pdf)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

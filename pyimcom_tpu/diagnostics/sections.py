@@ -1,0 +1,156 @@
+"""
+Standard report sections: mosaic image, layer statistics, simulated-star
+quality, and noise diagnostics.
+
+Counterparts of reference diagnostics/mosaicimage.py, layer_diagnostics.py,
+stars.py, and noise_diagnostics.py, operating through the OutImage API.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+
+from ..analysis import NoiseAnal, OutImage
+from ..utils.moments import find_adaptive_moments
+from .report import ReportSection
+
+
+def _blocks_of(report):
+    """All block files sharing the report's stem."""
+    fname = report.fname
+    stem = fname[:-11]
+    return sorted(glob.glob(stem + "_[0-9][0-9]_[0-9][0-9].fits"))
+
+
+class MosaicImage(ReportSection):
+    """Grayscale mosaic rendering of the science layer."""
+
+    def build(self):
+        import matplotlib.pyplot as plt
+
+        blocks = _blocks_of(self.report)
+        imgs = {}
+        for b in blocks:
+            oi = OutImage(b)
+            imgs[(oi.ibx, oi.iby)] = oi.get_coadded_layer(0)
+        if not imgs:
+            return
+        nb = max(max(k) for k in imgs) + 1
+        nside = next(iter(imgs.values())).shape[0]
+        canvas = np.zeros((nb * nside, nb * nside), dtype=np.float32)
+        for (ibx, iby), im in imgs.items():
+            canvas[iby * nside:(iby + 1) * nside, ibx * nside:(ibx + 1) * nside] = im
+        fig, ax = plt.subplots(figsize=(8, 8))
+        v = np.percentile(canvas, 99.5)
+        ax.imshow(np.arcsinh(canvas / max(v / 100, 1e-12)), origin="lower",
+                  cmap="gray")
+        ax.set_title("Mosaic science layer (asinh stretch)")
+        self.figures.append(fig)
+        self.add_datablock("MOSAICSTATS",
+                           f"nblocks {len(imgs)}\nmax {canvas.max():.6e}\n"
+                           f"p99 {np.percentile(canvas, 99):.6e}")
+
+
+class LayerReport(ReportSection):
+    """Percentile statistics of every coadded layer."""
+
+    def build(self):
+        import matplotlib.pyplot as plt
+
+        oi = OutImage(self.report.fname)
+        nlayer = oi.cfg.n_inframe
+        rows = []
+        for il in range(nlayer):
+            img = oi.get_coadded_layer(il)
+            pct = np.percentile(img, [1, 10, 50, 90, 99])
+            name = oi.cfg.extrainput[il] or "SCI"
+            rows.append((name, *pct))
+        fig, ax = plt.subplots(figsize=(8.5, 0.5 + 0.4 * nlayer))
+        ax.axis("off")
+        tab = [["layer", "p1", "p10", "p50", "p90", "p99"]] + [
+            [r[0]] + [f"{v:.3e}" for v in r[1:]] for r in rows]
+        ax.table(cellText=tab, loc="center")
+        ax.set_title("Layer percentiles")
+        self.figures.append(fig)
+        text = "\n".join(" ".join(str(x) for x in r) for r in rows)
+        self.add_datablock("LAYERPERCENTILES", text)
+
+
+class SimulatedStar(ReportSection):
+    """Adaptive moments of injected-grid stars vs the target PSF."""
+
+    def __init__(self, report, layer="cstar14"):
+        super().__init__(report)
+        self.layer = layer
+
+    def build(self):
+        import matplotlib.pyplot as plt
+
+        oi = OutImage(self.report.fname)
+        try:
+            img = oi.get_coadded_layer(self.layer)
+        except KeyError:
+            return
+        # find local maxima above threshold as star candidates
+        thr = 0.2 * img.max()
+        win = 8
+        results = []
+        work = img.copy()
+        for _ in range(20):
+            iy, ix = np.unravel_index(np.argmax(work), work.shape)
+            if work[iy, ix] < thr:
+                break
+            y0, y1 = max(0, iy - win), min(img.shape[0], iy + win + 1)
+            x0, x1 = max(0, ix - win), min(img.shape[1], ix + win + 1)
+            if y1 - y0 > 2 * win - 2 and x1 - x0 > 2 * win - 2:
+                m = find_adaptive_moments(img[y0:y1, x0:x1])
+                if m.converged:
+                    results.append((ix, iy, m.moments_sigma, m.observed_e1,
+                                    m.observed_e2, m.moments_amp))
+            work[y0:y1, x0:x1] = 0.0
+        if not results:
+            return
+        res = np.array(results)
+        target_sigma = (oi.cfg.sigmatarget * 0.11 / (oi.cfg.dtheta * 3600))
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.hist(res[:, 2], bins=10)
+        ax.axvline(target_sigma, color="r", ls="--", label="target sigma")
+        ax.set_xlabel("adaptive sigma [output px]")
+        ax.legend()
+        ax.set_title(f"Simulated stars ({self.layer}): {len(res)} measured")
+        self.figures.append(fig)
+        self.add_datablock(
+            "STARMOMENTS",
+            f"nstars {len(res)}\nsigma_mean {res[:, 2].mean():.6f}\n"
+            f"sigma_target {target_sigma:.6f}\n"
+            f"e1_mean {res[:, 3].mean():.2e}\ne2_mean {res[:, 4].mean():.2e}")
+
+
+class NoiseReport(ReportSection):
+    """Power spectra of the coadded noise layers."""
+
+    def build(self):
+        import matplotlib.pyplot as plt
+
+        oi = OutImage(self.report.fname)
+        fig, ax = plt.subplots(figsize=(6, 4))
+        text_lines = []
+        found = False
+        for il, spec in enumerate(oi.cfg.extrainput):
+            if spec is None or not ("noise" in spec.lower()):
+                continue
+            kc, pk = NoiseAnal(oi, layer=il).power_spectrum()
+            ax.loglog(kc[1:], pk[1:], label=spec)
+            text_lines.append(f"{spec} white-level {np.median(pk[len(pk)//2:]):.4e}")
+            found = True
+        if not found:
+            plt.close(fig)
+            return
+        ax.set_xlabel("k [cycles/pixel]")
+        ax.set_ylabel("P(k)")
+        ax.legend()
+        ax.set_title("Coadded noise power spectra")
+        self.figures.append(fig)
+        self.add_datablock("NOISEPOWER", "\n".join(text_lines))
