@@ -347,6 +347,62 @@ class Suite:
         return [(int(i // nb), int(i % nb)) for i in idx]
 
 
+class StarsAnal:
+    """
+    Star-moment catalogs from injected-grid layers
+    (reference StarsAnal, analysis.py:852-1127; galsim HSM replaced by
+    utils.moments adaptive moments + standardized fourth moments).
+    """
+
+    COLUMNS = ["ipix", "x", "y", "amp", "sigma", "e1", "e2",
+               "M40", "M31", "M22", "M13", "M04", "converged"]
+
+    def __init__(self, outimage: OutImage, layer="cstar14", win: int = 10):
+        self.outimage = outimage
+        self.layer = layer
+        self.win = win
+
+    def catalog(self) -> dict:
+        """Measure every truth-grid star on this block; returns a column dict."""
+        import re as _re
+
+        from .truthcats import block_truth_positions
+        from .utils.moments import find_adaptive_moments, fourth_moments
+
+        oi = self.outimage
+        img = oi.get_coadded_layer(self.layer)
+        m = _re.search(r"(\d+)$", self.layer.split(",")[0])
+        res = int(m.group(1))
+        pos = block_truth_positions(oi.cfg, oi.ibx, oi.iby, res)
+        cols = {k: [] for k in StarsAnal.COLUMNS}
+        pad = oi.cfg.postage_pad * oi.cfg.n2
+        w = self.win
+        for i in range(len(pos["ipix"])):
+            x = pos["x"][i] - 0  # block pixel coords (incl. padding region)
+            y = pos["y"][i]
+            ix, iy = int(round(x)), int(round(y))
+            if not (w <= ix < img.shape[1] - w and w <= iy < img.shape[0] - w):
+                continue
+            sub = np.asarray(img[iy - w:iy + w + 1, ix - w:ix + w + 1], dtype=np.float64)
+            mom = find_adaptive_moments(sub)
+            cols["ipix"].append(int(pos["ipix"][i]))
+            cols["x"].append(x)
+            cols["y"].append(y)
+            cols["amp"].append(mom.moments_amp)
+            cols["sigma"].append(mom.moments_sigma)
+            cols["e1"].append(mom.observed_e1 if mom.converged else np.nan)
+            cols["e2"].append(mom.observed_e2 if mom.converged else np.nan)
+            if mom.converged:
+                m4 = fourth_moments(sub, mom)
+                for k in ("M40", "M31", "M22", "M13", "M04"):
+                    cols[k].append(m4[k])
+            else:
+                for k in ("M40", "M31", "M22", "M13", "M04"):
+                    cols[k].append(np.nan)
+            cols["converged"].append(bool(mom.converged))
+        return {k: np.asarray(v) for k, v in cols.items()}
+
+
 class NoiseAnal:
     """
     Noise power spectra of coadded noise layers

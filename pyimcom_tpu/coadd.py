@@ -973,8 +973,20 @@ class Block:
         use_mixed = getattr(cfg, "solver_prec", "auto") == "mixed"
 
         if kind == "Eigen":
-            T, kappa, Sigma, UC = KERNELS["Eigen"](Ai, Bi, Ci, kappaC,
-                                                   cfg.uctarget, cfg.sigmamax)
+            # f64 eigh does not compile on the TPU backend (QDWH emulation
+            # hangs); pin the eigendecomposition path to the host CPU device.
+            import jax
+
+            if jax.default_backend() != "cpu":
+                cpu = jax.local_devices(backend="cpu")[0]
+                with jax.default_device(cpu):
+                    T, kappa, Sigma, UC = KERNELS["Eigen"](
+                        jnp.asarray(np.asarray(Ai)), jnp.asarray(np.asarray(Bi)),
+                        jnp.asarray(np.asarray(Ci)), jnp.asarray(np.asarray(kappaC)),
+                        cfg.uctarget, cfg.sigmamax)
+            else:
+                T, kappa, Sigma, UC = KERNELS["Eigen"](Ai, Bi, Ci, kappaC,
+                                                       cfg.uctarget, cfg.sigmamax)
         elif kind == "Cholesky":
             if use_mixed:
                 from .solvers import cholesky_solve_mixed

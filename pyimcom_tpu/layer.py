@@ -226,10 +226,13 @@ def make_image_from_grid(res, inpsf, idsca, obsdata, mywcs, nside_sca, inpsf_ove
 
         if _use_dense():
             from .ops.interp import interp2d_dense
+            from .psfgrp import compute_dtype
 
+            dt = compute_dtype()
             vals = np.asarray(interp2d_dense(
-                jnp.asarray(stack), jnp.asarray(qx.reshape(ns, -1)),
-                jnp.asarray(qy.reshape(ns, -1)))).reshape(ns, P, P) * inpsf_oversamp ** 2
+                jnp.asarray(stack, dtype=dt),
+                jnp.asarray(qx.reshape(ns, -1), dtype=dt),
+                jnp.asarray(qy.reshape(ns, -1), dtype=dt))).reshape(ns, P, P) * inpsf_oversamp ** 2
         else:
             which = np.broadcast_to(np.arange(ns)[:, None, None], qx.shape).astype(np.int32)
             vals = np.asarray(interp2d_stack(
@@ -240,6 +243,192 @@ def make_image_from_grid(res, inpsf, idsca, obsdata, mywcs, nside_sca, inpsf_ove
             m = inb[k]
             np.add.at(image, (gy[k].repeat(P, axis=1)[m], gx[k].repeat(P, axis=0)[m]), vals[k][m])
 
+    return image
+
+
+# ---------------------------------------------------------------------------
+# extended-object (galaxy) injection
+# ---------------------------------------------------------------------------
+
+def _shear_matrix(e1, e2):
+    """Distortion-convention shear matrix [[1+e1, e2], [e2, 1-e1]]/sqrt(1-e^2)."""
+    e2n = e1 * e1 + e2 * e2
+    if e2n >= 1.0:
+        raise ValueError("shear magnitude must be < 1")
+    return np.array([[1 + e1, e2], [e2, 1 - e1]]) / np.sqrt(1.0 - e2n)
+
+
+def _shear_expm(s1, s2):
+    """Area-preserving shear exp([[s1, s2], [s2, -s1]])."""
+    from scipy.linalg import expm
+
+    return expm(np.array([[s1, s2], [s2, -s1]]))
+
+
+def galaxy_ft(u, v, profile_n: float, hlr_arcsec: float, M_sky: np.ndarray,
+              A_samp2sky: np.ndarray):
+    """
+    Fourier transform (on the sample grid) of a unit-flux galaxy whose
+    profile is defined and sheared in *sky* coordinates, so all exposures
+    inject a consistently oriented object regardless of roll angle.
+
+    profile_n : Sersic index; 0.5 (Gaussian) and 1.0 (exponential) have
+        closed forms -- the cases the reference test suite exercises.
+    hlr_arcsec : half-light radius on the sky.
+    M_sky : 2x2 shape/shear transformation in sky coordinates.
+    A_samp2sky : 2x2 matrix mapping sample offsets to sky arcsec (the local
+        WCS Jacobian per oversampled pixel).
+
+    u, v : frequencies in cycles/sample.  The sheared profile's FT is the
+    circular FT evaluated at M^T A^{-T} k.
+    """
+    kx = 2 * np.pi * u
+    ky = 2 * np.pi * v
+    AinvT = np.linalg.inv(A_samp2sky).T
+    kxs = AinvT[0, 0] * kx + AinvT[0, 1] * ky  # cycles*2pi / arcsec
+    kys = AinvT[1, 0] * kx + AinvT[1, 1] * ky
+    kxp = M_sky[0, 0] * kxs + M_sky[1, 0] * kys
+    kyp = M_sky[0, 1] * kxs + M_sky[1, 1] * kys
+    k2 = kxp ** 2 + kyp ** 2
+    if abs(profile_n - 0.5) < 1e-12:
+        sigma = hlr_arcsec / np.sqrt(2 * np.log(2))
+        return np.exp(-0.5 * k2 * sigma ** 2)
+    if abs(profile_n - 1.0) < 1e-12:
+        r0 = hlr_arcsec / 1.678346990
+        return (1.0 + k2 * r0 ** 2) ** -1.5
+    raise NotImplementedError(
+        f"analytic profile for Sersic n={profile_n} not implemented "
+        "(n=0.5 Gaussian and n=1 exponential are supported)")
+
+
+def parse_gsext_args(arglist):
+    """Parse 'gsext' morphology arguments: n=, hlr=, shape=a:b, shear=a:b,
+    rot=deg, seed=int (reference GalSimInject argument conventions)."""
+    out = {"n": 0.5, "hlr": 0.1, "shape": (0.0, 0.0), "shear": None,
+           "rot": None, "seed": None}
+    for a in arglist:
+        if "=" not in a:
+            continue
+        k, v = a.split("=", 1)
+        k = k.strip().lower()
+        if k in ("n", "hlr", "rot"):
+            out[k] = float(v)
+        elif k == "seed":
+            out["seed"] = int(v)
+        elif k in ("shape", "g"):
+            p = v.split(":")
+            out["shape"] = (float(p[0]), float(p[1]))
+        elif k == "shear":
+            p = v.split(":")
+            out["shear"] = (float(p[0]), float(p[1]))
+    return out
+
+
+def make_extobj_image_from_grid(res, inimage, nside_sca, inpsf_oversamp, args,
+                                patch_half: int = 64, chunk: int = 16):
+    """
+    Draw unit-flux extended objects at every grid point: the oversampled PSF
+    is convolved with the analytic sheared galaxy profile in Fourier space,
+    then resampled like a star (GalSim-free counterpart of reference
+    GalSimInject.galsim_extobj_grid, layer.py:481-669).
+    """
+    import jax.numpy as jnp
+
+    from .ops.interp import interp2d_stack
+
+    image = np.zeros((nside_sca, nside_sca), dtype=np.float64)
+    ipix, xsca, ysca, rapix, decpix = generate_star_grid(res, inimage.inwcs)
+    if len(ipix) == 0:
+        return image
+    ov = inpsf_oversamp
+    d = patch_half
+    p = 6
+
+    # morphology transformation in sky coordinates
+    M = _shear_matrix(*args["shape"])
+    if args["rot"] is not None:
+        th = args["rot"] * np.pi / 180.0
+        M = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]) @ M
+    if args["shear"] is not None:
+        M = _shear_expm(*args["shear"]) @ M
+
+    # local sample->sky Jacobian at the SCA center (arcsec per sample)
+    from .wcsutil import local_partial_pixel_derivatives2
+
+    ctr_pix = (nside_sca - 1) / 2.0
+    jac = local_partial_pixel_derivatives2(inimage.inwcs, ctr_pix, ctr_pix)
+    A_samp2sky = jac * 3600.0 / ov
+
+    keep = (xsca > -d) & (xsca < nside_sca + d) & (ysca > -d) & (ysca < nside_sca + d)
+    idx = np.nonzero(keep)[0]
+
+    rng_master = np.random.default_rng(args["seed"]) if args["seed"] is not None else None
+
+    from .psfgrp import _use_dense
+
+    if _use_dense():
+        chunk = min(chunk, 8)
+
+    batch_fn = getattr(inimage, "get_psf_pos_batch", None)
+    for start in range(0, len(idx), chunk):
+        sel = idx[start:start + chunk]
+        ns = len(sel)
+        if batch_fn is not None:
+            psfs = list(batch_fn(np.stack([rapix[sel], decpix[sel]], axis=-1),
+                                 use_drawpsf=True))
+        else:
+            psfs = [np.asarray(inimage.get_psf_pos((rapix[i], decpix[i]),
+                                                   use_drawpsf=True)) for i in sel]
+        shp = max(pp.shape[0] for pp in psfs)
+        # convolve each PSF with the galaxy profile in Fourier space
+        uy = np.fft.fftfreq(shp)[:, None]
+        ux = np.fft.rfftfreq(shp)[None, :]
+        stack = np.zeros((ns, shp + 2 * p, shp + 2 * p))
+        for k, pp in enumerate(psfs):
+            o = (shp - pp.shape[0]) // 2
+            frame = np.zeros((shp, shp))
+            frame[o:o + pp.shape[0], o:o + pp.shape[1]] = pp
+            Mk = M
+            hlr_k = args["hlr"]
+            if rng_master is not None:
+                # reproducible per-object morphology (RNG subsequence keyed
+                # by HEALPix index, cf. reference GalSimInject.subgen)
+                sub = np.random.default_rng([args["seed"], int(ipix[sel[k]])])
+                hlr_k = args["hlr"] * (0.8 + 0.4 * sub.uniform())
+            gft = galaxy_ft(ux, uy, args["n"], hlr_k, Mk, A_samp2sky)
+            conv = np.fft.irfft2(np.fft.rfft2(frame) * gft, s=(shp, shp))
+            stack[k, p:p + shp, p:p + shp] = conv
+        ctr = (shp - 1) / 2.0
+
+        x0 = np.clip(np.floor(xsca[sel]).astype(int) - d, 0, None)
+        y0 = np.clip(np.floor(ysca[sel]).astype(int) - d, 0, None)
+        P = 2 * d
+        gx = x0[:, None, None] + np.arange(P)[None, None, :]
+        gy = y0[:, None, None] + np.arange(P)[None, :, None]
+        inb = (gx < nside_sca) & (gy < nside_sca)
+        qx = ov * (gx - xsca[sel][:, None, None]) + ctr + p
+        qy = ov * (gy - ysca[sel][:, None, None]) + ctr + p
+        qx, qy = np.broadcast_arrays(qx, qy)
+
+        if _use_dense():
+            from .ops.interp import interp2d_dense
+            from .psfgrp import compute_dtype
+
+            dt = compute_dtype()
+            vals = np.asarray(interp2d_dense(
+                jnp.asarray(stack, dtype=dt),
+                jnp.asarray(qx.reshape(ns, -1), dtype=dt),
+                jnp.asarray(qy.reshape(ns, -1), dtype=dt))).reshape(ns, P, P) * ov ** 2
+        else:
+            which = np.broadcast_to(np.arange(ns)[:, None, None], qx.shape).astype(np.int32)
+            vals = np.asarray(interp2d_stack(
+                jnp.asarray(stack), jnp.asarray(qx.ravel()), jnp.asarray(qy.ravel()),
+                jnp.asarray(which.ravel()))).reshape(ns, P, P) * ov ** 2
+
+        for k in range(ns):
+            m = inb[k]
+            np.add.at(image, (gy[k].repeat(P, axis=1)[m], gx[k].repeat(P, axis=0)[m]),
+                      vals[k][m])
     return image
 
 
@@ -346,6 +535,16 @@ def _build_extra_layer(spec: str, inimage) -> np.ndarray | None:
         return make_image_from_grid(res, inimage.get_psf_pos, idsca, obsdata,
                                     inimage.inwcs, nside, cfg.inpsf_oversamp
                                     ).astype(np.float32)
+
+    m = re.search(r"^(gsext|gsextchrom)(\d+)(,|$)", spec, re.IGNORECASE)
+    if m:
+        res = int(m.group(2))
+        raw = spec.split(",")[1:]
+        if m.group(1).lower() == "gsextchrom" and raw and "=" not in raw[0]:
+            raw = raw[1:]  # chromatic variant carries a PSF path first
+        args = parse_gsext_args(raw)
+        return make_extobj_image_from_grid(res, inimage, nside, cfg.inpsf_oversamp,
+                                           args).astype(np.float32)
 
     m = re.search(r"^nstar(\d+),", spec, re.IGNORECASE)
     if m:

@@ -32,6 +32,20 @@ from .ops.fourier import apply_amp_penalty, overlap_from_rft, pad_and_rfft2
 INTERP_PAD = 6  # guard pixels for the 10x10 interpolation kernel
 
 
+def compute_dtype():
+    """
+    Device dtype for the assembly pipeline (PSF sampling, FFTs, overlap
+    interpolation): float64 on CPU; float32 on accelerators (TPU has no
+    complex128, and f32 feeds the MXU).  The T solves stay float64
+    everywhere -- the quality targets (U/C ~ 1e-6) need it there, while the
+    assembly tolerates f32 (validated end-to-end against the CPU path).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
 class PSFGeometry:
     """Static geometry of PSF sampling and overlap arrays for one run."""
 
@@ -84,7 +98,7 @@ class PSFGroup:
         if psf_norm:
             psf_arr = psf_arr / psf_arr.sum(axis=(-2, -1), keepdims=True)
 
-        rft = pad_and_rfft2(jnp.asarray(psf_arr), geom.nfft)
+        rft = pad_and_rfft2(jnp.asarray(psf_arr, dtype=compute_dtype()), geom.nfft)
         if amp_penalty and amp_penalty[0] != 0.0 and amp_penalty[1] != 0.0:
             rft = apply_amp_penalty(rft, geom.nfft, amp_penalty[0],
                                     amp_penalty[1] * geom.oversamp)
@@ -125,8 +139,10 @@ def sample_psf_rotated(geom: PSFGeometry, psf: np.ndarray,
     if _use_dense():
         from .ops.interp import interp2d_dense
 
-        out = interp2d_dense(jnp.asarray(psf_pad)[None],
-                             jnp.asarray(qx)[None], jnp.asarray(qy)[None])[0]
+        dt = compute_dtype()
+        out = interp2d_dense(jnp.asarray(psf_pad, dtype=dt)[None],
+                             jnp.asarray(qx, dtype=dt)[None],
+                             jnp.asarray(qy, dtype=dt)[None])[0]
     else:
         out = interp2d(jnp.asarray(psf_pad), jnp.asarray(qx), jnp.asarray(qy))
     return np.asarray(out).reshape(geom.nsamp, geom.nsamp)
@@ -146,9 +162,10 @@ def sample_psf_unrotated(geom: PSFGeometry, psfs: np.ndarray) -> np.ndarray:
     out = np.zeros((n_psf, geom.nsamp, geom.nsamp))
     x = (geom.xo + xctr + INTERP_PAD)[None, :]
     y = (geom.yo + yctr + INTERP_PAD)[None, :]
+    dt = compute_dtype()
     for i in range(n_psf):
-        res = fn(jnp.asarray(np.pad(psfs[i], INTERP_PAD)),
-                 jnp.asarray(x), jnp.asarray(y))
+        res = fn(jnp.asarray(np.pad(psfs[i], INTERP_PAD), dtype=dt),
+                 jnp.asarray(x, dtype=dt), jnp.asarray(y, dtype=dt))
         out[i] = np.asarray(res)[0]
     return out
 
@@ -227,8 +244,10 @@ def _interp_rects_dense(ovl_stack, rects):
                 xq[j, :len(q1)] = q1
                 yq[j, :len(q2)] = q2
                 ks[j] = k
-            imgs = jnp.stack([ovl_stack[k] for k in ks])
-            vals = np.asarray(interp2d_dense(imgs, jnp.asarray(xq), jnp.asarray(yq)))
+            dt = compute_dtype()
+            imgs = jnp.stack([ovl_stack[k] for k in ks]).astype(dt)
+            vals = np.asarray(interp2d_dense(imgs, jnp.asarray(xq, dtype=dt),
+                                             jnp.asarray(yq, dtype=dt)))
             for j, (rid, off, _k, q1, _q2, _b) in enumerate(batch):
                 results[rid][off:off + len(q1)] = vals[j, :len(q1)]
     return results

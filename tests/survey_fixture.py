@@ -110,8 +110,11 @@ def draw_star(psf_tophat, xstar, ystar, nside, ov, window=80):
     """
     import jax.numpy as jnp
 
-    from pyimcom_tpu.ops.interp import grid_interp
+    from pyimcom_tpu.ops.interp import grid_interp, grid_interp_dense
+    from pyimcom_tpu.psfgrp import _use_dense, compute_dtype
 
+    fn = grid_interp_dense if _use_dense() else grid_interp
+    dt = compute_dtype()
     ns_psf = psf_tophat.shape[0]
     ctr = (ns_psf - 1) / 2.0
     im = np.zeros((nside, nside), dtype=np.float32)
@@ -123,8 +126,8 @@ def draw_star(psf_tophat, xstar, ystar, nside, ov, window=80):
         return im
     qx = (ov * (np.arange(x0, x1) - xstar) + ctr)[None, :]
     qy = (ov * (np.arange(y0, y1) - ystar) + ctr)[None, :]
-    vals = np.asarray(grid_interp(jnp.asarray(psf_tophat), jnp.asarray(qx),
-                                  jnp.asarray(qy)))[0]
+    vals = np.asarray(fn(jnp.asarray(psf_tophat, dtype=dt),
+                         jnp.asarray(qx, dtype=dt), jnp.asarray(qy, dtype=dt)))[0]
     im[y0:y1, x0:x1] = vals
     return im
 

@@ -1,0 +1,64 @@
+"""Cross-kernel end-to-end consistency on a 2-stamp block region
+(reference test_pyimcom.py:953-978: Cholesky vs multi-kappa vs Empirical vs
+Iterative on the science-star field)."""
+
+import numpy as np
+import pytest
+
+from survey_fixture import SC, SDEC, SIG_OUT, SRA, build_survey
+
+from pyimcom_tpu.config import Config
+from pyimcom_tpu.coadd import Block
+from pyimcom_tpu.fitsio import fits_read
+from pyimcom_tpu.wcsutil import WCS
+
+
+@pytest.fixture(scope="module")
+def kernel_runs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e_kern")
+    base = build_survey(tmp, n_obs=8, extrainput=["cstar14"],
+                        config_overrides={"STOP": 2})
+    outputs = {}
+    variants = {
+        "chol": {},
+        "multik": {"KAPPAC": [5e-4, 1e-3, 2e-3]},
+        "empir": {"LAKERNEL": "Empirical"},
+        "iter": {"LAKERNEL": "Iterative", "ITERRTOL": 1.5e-3, "ITERMAX": 30},
+    }
+    for name, over in variants.items():
+        cfg_d = dict(base)
+        cfg_d.update(over)
+        cfg_d["OUT"] = base["OUT"] + "_" + name
+        Block(cfg=Config(cfg_d), this_sub=1)
+        outputs[name] = str(tmp) + f"/out/testout_F_{name}_00_01.fits"
+    return outputs
+
+
+def _star_image(path):
+    f = fits_read(path)
+    w = WCS.from_header(f[0].header)
+    xs, ys = w.world2pix(SRA, SDEC)
+    return np.asarray(f[0].data[0, 0], dtype=np.float64), float(xs), float(ys)
+
+
+def test_kernels_consistent(kernel_runs):
+    d_chol, xs, ys = _star_image(kernel_runs["chol"])
+    d_mk, _, _ = _star_image(kernel_runs["multik"])
+    d_it, _, _ = _star_image(kernel_runs["iter"])
+    d_em, _, _ = _star_image(kernel_runs["empir"])
+    region = np.s_[0:25, 25:50]  # the coadded stamp containing the star
+
+    # single-kappa Cholesky vs multi-kappa: very tight (reference <5e-6)
+    assert np.std((d_chol - d_mk)[region]) < 5e-6
+    assert abs(np.mean((d_chol - d_mk)[region])) < 1e-6
+    # vs iterative: looser (reference <2.5e-3)
+    assert np.std((d_chol - d_it)[region]) < 2.5e-3
+    # empirical differs but is bounded relative to the signal
+    assert np.std((d_chol - d_em)[region]) < 0.91 * np.std(d_chol[region])
+
+    # star recovered by the Cholesky run in this region
+    yy, xx = np.mgrid[0:d_chol.shape[0], 0:d_chol.shape[1]]
+    p = np.exp(-0.5 * ((xx - xs) ** 2 + (yy - ys) ** 2) / SIG_OUT ** 2) \
+        / (2 * np.pi * SIG_OUT ** 2 * SC)
+    SL1 = np.sum((p * d_chol)[region]) / np.sum((p ** 2)[region])
+    assert abs(SL1 - 1) < 1e-3
