@@ -272,6 +272,83 @@ class WCS:
 
 
 # ---------------------------------------------------------------------------
+# approximation of arbitrary pixel<->world maps by TAN-SIP
+# ---------------------------------------------------------------------------
+
+def fit_wcs_sip(pix2world_fn, nside: int, order: int = 3, ngrid: int = 24,
+                ctr=None) -> "WCS":
+    """
+    Approximate an arbitrary pixel->world mapping with a TAN-SIP WCS fit by
+    least squares over an ngrid x ngrid sample of the detector (the
+    reference's GWCS -> 'ASTROPY+' approximation, wcsutil.py:459-592; the
+    error-map refinement can be layered on the returned object by comparing
+    against `pix2world_fn` where sub-milli-pixel accuracy is needed).
+
+    pix2world_fn : callable (x, y) -> (ra, dec) in degrees, vectorized.
+    nside : detector side length in pixels.
+    order : SIP polynomial order.
+    """
+    half = (nside - 1) / 2.0
+    if ctr is None:
+        ctr = (half, half)
+    g = np.linspace(0, nside - 1, ngrid)
+    gx, gy = np.meshgrid(g, g)
+    ra, dec = pix2world_fn(gx.ravel(), gy.ravel())
+    ra0, dec0 = pix2world_fn(np.array([ctr[0]]), np.array([ctr[1]]))
+    ra0, dec0 = float(np.atleast_1d(ra0)[0]), float(np.atleast_1d(dec0)[0])
+
+    # project samples to the TAN plane about (ra0, dec0)
+    base = WCS(ctype=("RA---TAN", "DEC--TAN"), crval=(ra0, dec0),
+               crpix=ctr, cd=np.eye(2) * 1e-5, lonpole=180.0)
+    phi, colat = _celestial_to_native(ra, dec, base.crval, base.lonpole)
+    xi, eta = _native_to_plane(phi, colat, "TAN")  # degrees
+
+    u = gx.ravel() - ctr[0]
+    v = gy.ravel() - ctr[1]
+
+    # linear CD fit first
+    Alin = np.stack([u, v], axis=1)
+    cd_row1, *_ = np.linalg.lstsq(Alin, xi, rcond=None)
+    cd_row2, *_ = np.linalg.lstsq(Alin, eta, rcond=None)
+    cd = np.array([cd_row1, cd_row2])
+    cdinv = np.linalg.inv(cd)
+
+    # SIP fit on the residuals in pixel units
+    up = cdinv[0, 0] * xi + cdinv[0, 1] * eta
+    vp = cdinv[1, 0] * xi + cdinv[1, 1] * eta
+    terms = [(p, q) for p in range(order + 1) for q in range(order + 1 - p)
+             if p + q >= 2]
+    M = np.stack([u ** p * v ** q for (p, q) in terms], axis=1)
+    ca, *_ = np.linalg.lstsq(M, up - u, rcond=None)
+    cb, *_ = np.linalg.lstsq(M, vp - v, rcond=None)
+    sip_a = {t: c for t, c in zip(terms, ca)}
+    sip_b = {t: c for t, c in zip(terms, cb)}
+
+    return WCS(ctype=("RA---TAN-SIP", "DEC--TAN-SIP"), crval=(ra0, dec0),
+               crpix=ctr, cd=cd, lonpole=180.0, sip_a=sip_a, sip_b=sip_b)
+
+
+class PyIMCOM_WCS(WCS):
+    """
+    Reference-API-compatible wrapper name (reference wcsutil.py:419): accepts
+    a FITS header dict or an existing WCS; arbitrary callables can be
+    adapted with :func:`fit_wcs_sip` first.
+    """
+
+    def __init__(self, source, **kwargs):
+        if isinstance(source, WCS):
+            self.__dict__.update(source.__dict__)
+        elif isinstance(source, dict) or hasattr(source, "get"):
+            w = WCS.from_header(source)
+            self.__dict__.update(w.__dict__)
+        else:
+            raise TypeError(
+                "PyIMCOM_WCS accepts a header or WCS; GWCS/ASDF objects are "
+                "not available in this environment -- approximate a callable "
+                "mapping with wcsutil.fit_wcs_sip instead.")
+
+
+# ---------------------------------------------------------------------------
 # derivatives and pixel areas
 # ---------------------------------------------------------------------------
 

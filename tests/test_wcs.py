@@ -138,3 +138,30 @@ def test_stg_jax_matches_host():
     x2, y2 = w2p(ra_j, dec_j)
     np.testing.assert_allclose(np.asarray(x2), x, atol=1e-8)
     np.testing.assert_allclose(np.asarray(y2), y, atol=1e-8)
+
+
+def test_fit_wcs_sip_approximates_arc():
+    """TAN-SIP fit reproduces a distorted ARC WCS to sub-milli-pixel accuracy
+    (the reference requires <1e-3 px for its GWCS approximation)."""
+    from pyimcom_tpu.wcsutil import fit_wcs_sip
+
+    src = WCS(**SCA18)
+    fit = fit_wcs_sip(src.pix2world, 4088, order=3)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(50, 4038, 200)
+    y = rng.uniform(50, 4038, 200)
+    ra1, dec1 = src.pix2world(x, y)
+    x2, y2 = fit.world2pix(ra1, dec1)
+    assert np.max(np.hypot(x2 - x, y2 - y)) < 1e-3
+
+
+def test_pyimcom_wcs_wrapper():
+    from pyimcom_tpu.wcsutil import PyIMCOM_WCS
+
+    w = WCS(**SCA18)
+    w2 = PyIMCOM_WCS(w.to_header())
+    np.testing.assert_allclose(np.stack(w.pix2world(np.array([100.0]), np.array([200.0]))),
+                               np.stack(w2.pix2world(np.array([100.0]), np.array([200.0]))),
+                               atol=1e-12)
+    with pytest.raises(TypeError):
+        PyIMCOM_WCS(lambda x, y: (x, y))
