@@ -203,9 +203,11 @@ def _use_dense() -> bool:
     return jax.default_backend() != "cpu"
 
 
-# query-count buckets and rectangle batch size for the dense path
+# query-count buckets and per-bucket rectangle batch sizes for the dense
+# path.  Larger batches amortize dispatch latency (significant over the
+# remote-TPU relay); the W-matrix working set stays under ~200 MB f32.
 _DENSE_BUCKETS = (1024, 4096, 16384)
-_DENSE_RBATCH = 8
+_DENSE_RBATCH_BY_BUCKET = {1024: 64, 4096: 32, 16384: 8}
 
 
 def _interp_rects_dense(ovl_stack, rects):
@@ -235,11 +237,12 @@ def _interp_rects_dense(ovl_stack, rects):
     for p in pieces:
         groups[p[5]].append(p)
     for bucket, plist in groups.items():
-        for i0 in range(0, len(plist), _DENSE_RBATCH):
-            batch = plist[i0:i0 + _DENSE_RBATCH]
-            xq = np.full((_DENSE_RBATCH, bucket), -100.0)
-            yq = np.full((_DENSE_RBATCH, bucket), -100.0)
-            ks = [0] * _DENSE_RBATCH
+        rbatch = _DENSE_RBATCH_BY_BUCKET[bucket]
+        for i0 in range(0, len(plist), rbatch):
+            batch = plist[i0:i0 + rbatch]
+            xq = np.full((rbatch, bucket), -100.0)
+            yq = np.full((rbatch, bucket), -100.0)
+            ks = [0] * rbatch
             for j, (rid, off, k, q1, q2, _b) in enumerate(batch):
                 xq[j, :len(q1)] = q1
                 yq[j, :len(q2)] = q2
