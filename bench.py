@@ -2,44 +2,90 @@
 """
 End-to-end coaddition benchmark.
 
-Coadds one standardized synthetic block (the PR1 reference config: single
-output block, simulated complex-Airy input PSFs, Gaussian target, Cholesky
-solve; cf. BASELINE.json configs[0]) and reports throughput as one JSON
-line:
+Coadds a standardized synthetic block region (the PR1 reference config:
+simulated complex-Airy input PSFs, Gaussian target, Cholesky solve;
+cf. BASELINE.json configs[0]) and reports throughput as one JSON line:
 
-    {"metric": "blocks/hour", "value": ..., "unit": "blocks/hour",
-     "vs_baseline": ...}
+    {"metric": "blocks/hour", "value": ..., "unit": ..., "vs_baseline": ...}
 
-vs_baseline is the speedup of the default JAX backend (the TPU when
-available) over the CPU backend running the identical block in this same
-process -- i.e. the measured TPU-vs-host advantage on this hardware.  On a
-CPU-only machine vs_baseline = 1.
+vs_baseline compares the default backend (the TPU when available) against
+the host CPU backend running the identical region in this same process.
+On a CPU-only machine vs_baseline = 1.
 
-Usage: python bench.py [--quick] [--cpu-only]
+The remote-TPU tunnel on this machine is intermittent, so every accelerator
+phase runs under a SIGALRM watchdog; on a hang or error the benchmark falls
+back to the CPU measurement and says so in the unit string.
+
+Usage: python bench.py [--full] [--cpu-only] [--timeout SEC]
 """
 
 import argparse
 import json
 import os
 import pathlib
+import signal
 import sys
 import time
 
 
-def run_block(cfg_dict, this_sub=1):
+class Timeout(Exception):
+    pass
+
+
+def _alarm(sig, frame):
+    raise Timeout()
+
+
+def run_region(cfg_dict, this_sub=1, stop=4, out_suffix=""):
     from pyimcom_tpu.config import Config
     from pyimcom_tpu.coadd import Block
 
-    cfg = Config(dict(cfg_dict))
+    d = dict(cfg_dict)
+    if stop:
+        d["STOP"] = stop
+    d["OUT"] = d["OUT"] + out_suffix
+    ibx, iby = divmod(this_sub, d["BLOCK"])
+    out = d["OUT"] + f"_{ibx:02d}_{iby:02d}.fits"
+    if os.path.exists(out):
+        os.remove(out)
+    cfg = Config(d)
     t0 = time.time()
     Block(cfg=cfg, this_sub=this_sub)
     return time.time() - t0
 
 
+def quality_check(path):
+    """Star-recovery and leakage metrics of a bench output block."""
+    import numpy as np
+
+    from pyimcom_tpu.fitsio import fits_read
+    from pyimcom_tpu.wcsutil import WCS
+
+    f = fits_read(path)
+    w = WCS.from_header(f[0].header)
+    xs, ys = w.world2pix(60.0508, -3.8005)
+    d = np.asarray(f[0].data[0, 0], dtype=np.float64)
+    sig = 0.9265328730414752 * 0.11 / 0.04
+    sc = (0.04 / 0.11) ** 2
+    yy, xx = np.mgrid[0:d.shape[0], 0:d.shape[1]]
+    p = np.exp(-0.5 * ((xx - float(xs)) ** 2 + (yy - float(ys)) ** 2) / sig ** 2) \
+        / (2 * np.pi * sig ** 2 * sc)
+    region = np.s_[0:25, 25:50]
+    SL1 = float(np.sum((p * d)[region]) / np.sum((p ** 2)[region]))
+    fid = np.asarray(f["FIDELITY"].data, dtype=np.float64)
+    uc = 10.0 ** (fid / -5000.0)
+    # exclude encodings of exactly-zero U/C (never-coadded pixels saturate)
+    good = (uc > 1e-10) & (uc < 0.5)
+    uc_med = float(np.median(uc[good])) if np.any(good) else 1.0
+    return SL1, uc_med
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true", help="coadd 4 stamps only")
+    ap.add_argument("--full", action="store_true", help="coadd all 16 stamps")
     ap.add_argument("--cpu-only", action="store_true")
+    ap.add_argument("--timeout", type=int, default=2100,
+                    help="accelerator watchdog seconds")
     args = ap.parse_args()
 
     if args.cpu_only:
@@ -50,7 +96,9 @@ def main():
     if args.cpu_only:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache" if jax.default_backend() == "cpu"
+                      else "/tmp/jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     sys.path.insert(0, str(pathlib.Path(__file__).parent / "tests"))
@@ -59,38 +107,53 @@ def main():
     workdir = pathlib.Path("/tmp/pyimcom_bench")
     workdir.mkdir(exist_ok=True)
     marker = workdir / ".built"
-    overrides = {"STOP": 4} if args.quick else {}
     if not marker.exists():
-        cfg_dict = build_survey(workdir, n_obs=8, extrainput=["cstar14"],
-                                config_overrides=overrides)
+        cfg_dict = build_survey(workdir, n_obs=8, extrainput=["cstar14"])
         marker.write_text("ok")
     else:
-        import json as _json
-        cfg_dict = _json.loads((workdir / "cfg.json").read_text())
-        cfg_dict.update(overrides)
+        cfg_dict = json.loads((workdir / "cfg.json").read_text())
 
-    platform = jax.devices()[0].platform
-    nrun = 4 if args.quick else 16
+    stop = 0 if args.full else 4
+    nrun = 16 if args.full else 4
+    platform = jax.default_backend()
+    note = ""
+    signal.signal(signal.SIGALRM, _alarm)
 
-    # run 1 warms compiles and the input-layer cache; run 2 is the measurement
-    run_block(cfg_dict)
-    dt = run_block(cfg_dict)
-    blocks_per_hour = 3600.0 / dt * (4.0 / nrun if args.quick else 1.0)
-
-    vs_baseline = 1.0
+    dt = None
     if platform != "cpu":
-        # baseline: identical block on the host CPU backend
-        cpu = jax.local_devices(backend="cpu")
-        with jax.default_device(cpu[0]):
-            run_block(cfg_dict)
-            dt_cpu = run_block(cfg_dict)
+        try:
+            signal.alarm(args.timeout)
+            run_region(cfg_dict, stop=stop, out_suffix="_dev")  # warm compiles
+            signal.alarm(args.timeout)
+            dt = run_region(cfg_dict, stop=stop, out_suffix="_dev")
+            signal.alarm(0)
+        except (Timeout, Exception) as e:  # noqa: BLE001
+            signal.alarm(0)
+            note = f"; {platform} failed ({type(e).__name__}), CPU fallback"
+            platform = "cpu-fallback"
+            dt = None
+
+    # CPU measurement (the baseline, and the fallback result)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        run_region(cfg_dict, stop=stop, out_suffix="_cpu")
+        dt_cpu = run_region(cfg_dict, stop=stop, out_suffix="_cpu")
+        ibx, iby = divmod(1, cfg_dict["BLOCK"])
+        SL1, uc_med = quality_check(
+            cfg_dict["OUT"] + f"_cpu_{ibx:02d}_{iby:02d}.fits")
+
+    if dt is None:
+        dt = dt_cpu
+        vs_baseline = 1.0
+    else:
         vs_baseline = dt_cpu / dt
 
+    blocks_per_hour = 3600.0 / (dt * 16.0 / nrun)
     print(json.dumps({
         "metric": "blocks/hour",
         "value": round(blocks_per_hour, 3),
         "unit": f"synthetic 100px blocks/hour on {platform} "
-                f"({'quick' if args.quick else 'full'})",
+                f"({nrun}/16 stamps, SL1={SL1:.5f}, U/C med={uc_med:.1e})" + note,
         "vs_baseline": round(vs_baseline, 3),
     }))
 
