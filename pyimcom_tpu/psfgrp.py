@@ -249,8 +249,11 @@ def _interp_rects_dense(ovl_stack, rects):
                 ks[j] = k
             dt = compute_dtype()
             imgs = jnp.stack([ovl_stack[k] for k in ks]).astype(dt)
-            vals = np.asarray(interp2d_dense(imgs, jnp.asarray(xq, dtype=dt),
-                                             jnp.asarray(yq, dtype=dt)))
+            from .ops.interp_pallas import interp2d_dense_pallas, pallas_enabled
+
+            fn = interp2d_dense_pallas if pallas_enabled() else interp2d_dense
+            vals = np.asarray(fn(imgs, jnp.asarray(xq, dtype=dt),
+                                 jnp.asarray(yq, dtype=dt)))
             for j, (rid, off, _k, q1, _q2, _b) in enumerate(batch):
                 results[rid][off:off + len(q1)] = vals[j, :len(q1)]
     return results
