@@ -968,14 +968,18 @@ class Block:
             Bi = jnp.asarray(Bp)
         Ci = jnp.asarray(C)
 
-        # 'mixed' (f32 factor + refinement) is opt-in: it needs
-        # cond(A + kappa I) * eps_f32 < 1, which small kappaC nodes violate.
-        use_mixed = getattr(cfg, "solver_prec", "auto") == "mixed"
+        import jax
+
+        # Precision policy: full-f64 Cholesky on CPU; on accelerators the
+        # f64 factorization does not compile (TPU emulation hangs), so
+        # 'auto' uses the f32-factor + f64-residual-refinement kernel there.
+        # Set SOLVERPREC to 'f64' / 'mixed' to force either.
+        prec = getattr(cfg, "solver_prec", "auto")
+        use_mixed = prec == "mixed"
 
         if kind == "Eigen":
             # f64 eigh does not compile on the TPU backend (QDWH emulation
             # hangs); pin the eigendecomposition path to the host CPU device.
-            import jax
 
             if jax.default_backend() != "cpu":
                 cpu = jax.local_devices(backend="cpu")[0]
@@ -992,6 +996,13 @@ class Block:
                 from .solvers import cholesky_solve_mixed
 
                 T, kappa, Sigma, UC = cholesky_solve_mixed(
+                    Ai, Bi, Ci, kappaC, cfg.uctarget, cfg.sigmamax)
+            elif prec == "auto" and jax.default_backend() != "cpu":
+                # full-f64 quality via the blocked factorization (the
+                # monolithic f64 cholesky does not compile on TPU)
+                from .solvers import cholesky_solve_blocked
+
+                T, kappa, Sigma, UC = cholesky_solve_blocked(
                     Ai, Bi, Ci, kappaC, cfg.uctarget, cfg.sigmamax)
             else:
                 T, kappa, Sigma, UC = KERNELS["Cholesky"](Ai, Bi, Ci, kappaC,

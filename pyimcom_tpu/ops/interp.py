@@ -85,10 +85,11 @@ def d5512_weights(fh: jnp.ndarray) -> jnp.ndarray:
     even = jnp.asarray(D5512_EVEN, dtype=dtype)
     odd = jnp.asarray(D5512_ODD, dtype=dtype)
     fh2 = fh * fh
-    # powers [fh2^4, fh2^3, fh2^2, fh2, 1]
+    # powers [fh2^4, fh2^3, fh2^2, fh2, 1]; the coefficient contractions are
+    # matmuls and MUST NOT run at the TPU default (single-pass bf16)
     p = jnp.stack([fh2 ** 4, fh2 ** 3, fh2 ** 2, fh2, jnp.ones_like(fh2)], axis=-1)
-    e = p @ even.T                      # (..., 5)
-    o = (p @ odd.T) * fh[..., None]     # (..., 5)
+    e = jnp.dot(p, even.T, precision=jax.lax.Precision.HIGHEST)   # (..., 5)
+    o = jnp.dot(p, odd.T, precision=jax.lax.Precision.HIGHEST) * fh[..., None]
     return jnp.concatenate([e + o, (e - o)[..., ::-1]], axis=-1)
 
 
@@ -251,23 +252,26 @@ def grid_interp(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarr
 # --------------------------------------------------------------------------
 
 
-def _banded_weights(x, ncol: int):
+def _banded_weights(x, ncol: int, dtype=None):
     """
     Dense banded D5512 weight matrix.
 
     W[..., q, c] = weight of source column c for query position x[..., q]
     (zero outside the 10-tap support); plus the validity mask.
 
-    x : (..., Nq) absolute positions in [0, ncol).
+    x : (..., Nq) absolute positions in [0, ncol).  The integer/fractional
+    split happens in x's own dtype (pass f64 positions for full placement
+    accuracy), then the weights are built in `dtype` (default: x's dtype).
     Returns (W (..., Nq, ncol), valid (..., Nq)).
     """
+    dtype = dtype or x.dtype
     xi = jnp.floor(x).astype(jnp.int32)
     valid = (xi >= _LO) & (xi < ncol - _HI_MARGIN)
-    fh = x - xi.astype(x.dtype) - 0.5
+    fh = (x - xi.astype(x.dtype) - 0.5).astype(dtype)
     w10 = d5512_weights(fh)                       # (..., Nq, 10)
     c = jnp.arange(ncol, dtype=jnp.int32)
     k = c - xi[..., None] + _LO                   # (..., Nq, ncol) tap index
-    W = jnp.zeros(x.shape + (ncol,), dtype=x.dtype)
+    W = jnp.zeros(x.shape + (ncol,), dtype=dtype)
     for tap in range(KERNEL_SIZE):
         W = W + jnp.where(k == tap, w10[..., tap:tap + 1], 0.0)
     return W, valid
@@ -289,11 +293,14 @@ def interp2d_dense(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.n
     as :func:`interp2d`).
     """
     R, ny, nx = images.shape
-    Wy, vy = _banded_weights(y, ny)               # (R, Nq, ny)
-    Wx, vx = _banded_weights(x, nx)               # (R, Nq, nx)
-    # row interpolation on the MXU
+    Wy, vy = _banded_weights(y, ny, dtype=images.dtype)   # (R, Nq, ny)
+    Wx, vx = _banded_weights(x, nx, dtype=images.dtype)   # (R, Nq, nx)
+    # row interpolation on the MXU; HIGHEST precision is essential -- the
+    # TPU default lowers f32 matmuls to single-pass bf16 (8-bit mantissa),
+    # which corrupts the system matrices at the 3e-3 relative level
     G = jnp.einsum("rqn,rnc->rqc", Wy, images,
-                   preferred_element_type=images.dtype)   # (R, Nq, nx)
+                   preferred_element_type=images.dtype,
+                   precision=jax.lax.Precision.HIGHEST)   # (R, Nq, nx)
     out = jnp.sum(G * Wx, axis=-1)
     return jnp.where(vx & vy, out, 0.0)
 
@@ -306,11 +313,13 @@ def grid_interp_dense(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp
     (P, nyo, nxo).
     """
     ny, nx = image.shape
-    Wy, vy = _banded_weights(y, ny)               # (P, nyo, ny)
-    Wx, vx = _banded_weights(x, nx)               # (P, nxo, nx)
+    Wy, vy = _banded_weights(y, ny, dtype=image.dtype)    # (P, nyo, ny)
+    Wx, vx = _banded_weights(x, nx, dtype=image.dtype)    # (P, nxo, nx)
     H = jnp.einsum("pyn,nc->pyc", Wy, image,
-                   preferred_element_type=image.dtype)    # (P, nyo, nx)
-    out = jnp.einsum("pyc,pxc->pyx", H, Wx)
+                   preferred_element_type=image.dtype,
+                   precision=jax.lax.Precision.HIGHEST)   # (P, nyo, nx)
+    out = jnp.einsum("pyc,pxc->pyx", H, Wx,
+                     precision=jax.lax.Precision.HIGHEST)
     return out * (vy[:, :, None] & vx[:, None, :])
 
 

@@ -80,7 +80,8 @@ def _kernel(img_ref, x_ref, y_ref, out_ref):
     yq = y_ref[0]
     Wy, vy = _band(yq, ny)                                 # (Q, ny)
     Wx, vx = _band(xq, nx)                                 # (Q, nx)
-    G = jnp.dot(Wy, img, preferred_element_type=img.dtype)  # MXU (Q, nx)
+    G = jnp.dot(Wy, img, preferred_element_type=img.dtype,
+                precision=jax.lax.Precision.HIGHEST)       # MXU (Q, nx)
     out = jnp.sum(G * Wx, axis=-1)
     out_ref[0] = jnp.where(vx & vy, out, 0.0)
 

@@ -98,11 +98,27 @@ class PSFGroup:
         if psf_norm:
             psf_arr = psf_arr / psf_arr.sum(axis=(-2, -1), keepdims=True)
 
-        rft = pad_and_rfft2(jnp.asarray(psf_arr, dtype=compute_dtype()), geom.nfft)
-        if amp_penalty and amp_penalty[0] != 0.0 and amp_penalty[1] != 0.0:
-            rft = apply_amp_penalty(rft, geom.nfft, amp_penalty[0],
-                                    amp_penalty[1] * geom.oversamp)
-        self.psf_rft = rft  # (n_psf, nfft, nfft//2+1), device
+        if _use_dense():
+            # accelerator backends have no complex128, and complex64 FFT
+            # arithmetic injects ~1e-6 absolute noise into the overlap
+            # integrals (enough to push U/C from 4e-7 to 4e-3), so the FFTs
+            # stay on the host in f64; only the final overlap *values* are
+            # cast to f32 for the device interpolation.
+            npad = geom.nfft - psf_arr.shape[-1]
+            rft = np.fft.rfft2(np.pad(psf_arr, ((0, 0), (0, npad), (0, npad))))
+            if amp_penalty and amp_penalty[0] != 0.0 and amp_penalty[1] != 0.0:
+                u2 = np.fft.fftfreq(geom.nfft) ** 2
+                ut2 = u2[:, None] + u2[None, :geom.nfft // 2 + 1]
+                rft = rft * (1.0 + amp_penalty[0] * np.exp(
+                    -2.0 * np.pi ** 2 * ut2 * (amp_penalty[1] * geom.oversamp) ** 2))
+            self.psf_rft = rft  # (n_psf, nfft, nfft//2+1), host f64
+        else:
+            rft = pad_and_rfft2(jnp.asarray(psf_arr, dtype=compute_dtype()),
+                                geom.nfft)
+            if amp_penalty and amp_penalty[0] != 0.0 and amp_penalty[1] != 0.0:
+                rft = apply_amp_penalty(rft, geom.nfft, amp_penalty[0],
+                                        amp_penalty[1] * geom.oversamp)
+            self.psf_rft = rft  # (n_psf, nfft, nfft//2+1), device
 
     def clear(self):
         self.psf_rft = None
@@ -141,8 +157,7 @@ def sample_psf_rotated(geom: PSFGeometry, psf: np.ndarray,
 
         dt = compute_dtype()
         out = interp2d_dense(jnp.asarray(psf_pad, dtype=dt)[None],
-                             jnp.asarray(qx, dtype=dt)[None],
-                             jnp.asarray(qy, dtype=dt)[None])[0]
+                             jnp.asarray(qx)[None], jnp.asarray(qy)[None])[0]
     else:
         out = interp2d(jnp.asarray(psf_pad), jnp.asarray(qx), jnp.asarray(qy))
     return np.asarray(out).reshape(geom.nsamp, geom.nsamp)
@@ -165,7 +180,7 @@ def sample_psf_unrotated(geom: PSFGeometry, psfs: np.ndarray) -> np.ndarray:
     dt = compute_dtype()
     for i in range(n_psf):
         res = fn(jnp.asarray(np.pad(psfs[i], INTERP_PAD), dtype=dt),
-                 jnp.asarray(x, dtype=dt), jnp.asarray(y, dtype=dt))
+                 jnp.asarray(x), jnp.asarray(y))
         out[i] = np.asarray(res)[0]
     return out
 
@@ -181,6 +196,17 @@ def build_overlap_stack(geom: PSFGeometry, grp1: PSFGroup, grp2: PSFGroup | None
     import jax.numpy as jnp
 
     g2 = grp2 if grp2 is not None else grp1
+    if isinstance(grp1.psf_rft, np.ndarray):
+        # host f64 path (accelerators; see PSFGroup.__init__)
+        nc = geom.nc_ovl
+        prod = grp1.psf_rft[:, None] * np.conj(g2.psf_rft[None, :])
+        corr = np.fft.irfft2(prod, s=(geom.nfft, geom.nfft))
+        corr = np.roll(corr, (nc, nc), axis=(-2, -1))[..., :geom.novl, :geom.novl]
+        n1, n2 = corr.shape[:2]
+        padded = np.pad(corr.reshape(n1 * n2, geom.novl, geom.novl),
+                        ((0, 0), (INTERP_PAD, INTERP_PAD), (INTERP_PAD, INTERP_PAD)))
+        return jnp.asarray(padded, dtype=compute_dtype())
+
     rft1 = grp1.psf_rft[:, None]       # (n1, 1, ...)
     rft2 = g2.psf_rft[None, :]         # (1, n2, ...)
     ovl = overlap_from_rft(rft1, rft2, geom.novl, geom.nfft)  # (n1, n2, novl, novl)
@@ -192,6 +218,10 @@ def build_overlap_stack(geom: PSFGeometry, grp1: PSFGroup, grp2: PSFGroup | None
 
 def outpsf_C_values(geom: PSFGeometry, outgrp: PSFGroup) -> np.ndarray:
     """Target normalizations C: zero-lag self-overlap per output PSF."""
+    if isinstance(outgrp.psf_rft, np.ndarray):
+        corr = np.fft.irfft2(outgrp.psf_rft * np.conj(outgrp.psf_rft),
+                             s=(geom.nfft, geom.nfft))
+        return corr[:, 0, 0]  # zero lag
     ovl = overlap_from_rft(outgrp.psf_rft, outgrp.psf_rft, geom.novl, geom.nfft)
     return np.asarray(ovl[:, geom.nc_ovl, geom.nc_ovl])
 
@@ -251,9 +281,10 @@ def _interp_rects_dense(ovl_stack, rects):
             imgs = jnp.stack([ovl_stack[k] for k in ks]).astype(dt)
             from .ops.interp_pallas import interp2d_dense_pallas, pallas_enabled
 
+            # positions stay f64: the fractional phase is extracted in f64
+            # inside the kernel before the cast to the image dtype
             fn = interp2d_dense_pallas if pallas_enabled() else interp2d_dense
-            vals = np.asarray(fn(imgs, jnp.asarray(xq, dtype=dt),
-                                 jnp.asarray(yq, dtype=dt)))
+            vals = np.asarray(fn(imgs, jnp.asarray(xq), jnp.asarray(yq)))
             for j, (rid, off, _k, q1, _q2, _b) in enumerate(batch):
                 results[rid][off:off + len(q1)] = vals[j, :len(q1)]
     return results

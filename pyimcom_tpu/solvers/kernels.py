@@ -250,6 +250,115 @@ def cholesky_solve(A, mBhalf, C, kappaC, ucmin, smax):
     return T, kappa, Sigma, UC
 
 
+CHOL_BLOCK = 128
+
+
+def blocked_cholesky(A, bs: int = CHOL_BLOCK):
+    """
+    Right-looking blocked Cholesky as a lax.fori_loop over block columns.
+
+    XLA:TPU cannot compile the monolithic float64 `cholesky` lowering at the
+    sizes IMCOM needs (the emulated-f64 unroll hangs), but per-block
+    (bs x bs) factorizations, triangular panel solves, and f64 matmul
+    trailing updates all compile in seconds and run on the (emulated) MXU.
+    n must be a multiple of bs (the solver buckets are).
+    """
+    n = A.shape[0]
+    nb = n // bs
+    rows = jnp.arange(n)
+
+    def body(k, M):
+        Akk = jax.lax.dynamic_slice(M, (k * bs, k * bs), (bs, bs))
+        Lkk = jnp.linalg.cholesky(Akk)
+        col = jax.lax.dynamic_slice(M, (0, k * bs), (n, bs))
+        panel = jax.lax.linalg.triangular_solve(
+            Lkk, col, left_side=False, lower=True, transpose_a=True)
+        below = rows[:, None] >= (k + 1) * bs
+        panelL = jnp.where(below, panel, 0.0)
+        # write [0; Lkk; panel] into column k
+        in_diag = (rows[:, None] >= k * bs) & (rows[:, None] < (k + 1) * bs)
+        Lkk_embedded = jnp.zeros((n, bs), M.dtype)
+        Lkk_embedded = jax.lax.dynamic_update_slice(Lkk_embedded, Lkk, (k * bs, 0))
+        newcol = panelL + jnp.where(in_diag, Lkk_embedded, 0.0)
+        M = jax.lax.dynamic_update_slice(M, newcol, (0, k * bs))
+        # trailing update (panelL is zero above the trailing rows)
+        M = M - panelL @ panelL.T
+        return M
+
+    M = jax.lax.fori_loop(0, nb, body, A)
+    return jnp.tril(M)
+
+
+def blocked_cho_solve(L, B, bs: int = CHOL_BLOCK):
+    """Solve L L^T X = B with blocked forward/backward substitution.
+
+    L : (n, n) lower triangular; B : (n, m)."""
+    n, m = B.shape
+    nb = n // bs
+
+    def fwd(k, X):
+        Lrow = jax.lax.dynamic_slice(L, (k * bs, 0), (bs, n))
+        Bk = jax.lax.dynamic_slice(B, (k * bs, 0), (bs, m))
+        rhs = Bk - Lrow @ X  # unsolved rows of X are still zero
+        Lkk = jax.lax.dynamic_slice(L, (k * bs, k * bs), (bs, bs))
+        Xk = jax.lax.linalg.triangular_solve(Lkk, rhs, left_side=True, lower=True)
+        return jax.lax.dynamic_update_slice(X, Xk, (k * bs, 0))
+
+    Y = jax.lax.fori_loop(0, nb, fwd, jnp.zeros_like(B))
+
+    def bwd(i, X):
+        k = nb - 1 - i
+        Lcol = jax.lax.dynamic_slice(L, (0, k * bs), (n, bs))
+        Yk = jax.lax.dynamic_slice(Y, (k * bs, 0), (bs, m))
+        rhs = Yk - Lcol.T @ X  # unsolved rows of X are still zero
+        Lkk = jax.lax.dynamic_slice(L, (k * bs, k * bs), (bs, bs))
+        Xk = jax.lax.linalg.triangular_solve(Lkk, rhs, left_side=True, lower=True,
+                                             transpose_a=True)
+        return jax.lax.dynamic_update_slice(X, Xk, (k * bs, 0))
+
+    return jax.lax.fori_loop(0, nb, bwd, jnp.zeros_like(B))
+
+
+@jax.jit
+def cholesky_solve_blocked(A, mBhalf, C, kappaC, ucmin, smax):
+    """
+    Cholesky kernel using the blocked f64 factorization -- the accelerator
+    default (full f64 quality; compiles where the XLA monolithic lowering
+    does not).  Same contract as :func:`cholesky_solve`.
+    """
+    n = A.shape[0]
+    nv = kappaC.shape[0]
+    n_out = C.shape[0]
+    eye = jnp.eye(n, dtype=A.dtype)
+
+    def solve_one_output(j):
+        kappa_arr = kappaC * C[j]
+        mb = mBhalf[j]
+
+        def node_solve(kap):
+            L = blocked_cholesky(A + kap * eye)
+            return blocked_cho_solve(L, mb.T).T
+
+        Tpi = jax.vmap(node_solve)(kappa_arr)
+
+        if nv == 1:
+            Ti = Tpi[0]
+            D = jnp.einsum("ai,ai->a", mb, Ti)
+            N = jnp.einsum("ai,ai->a", Ti, Ti)
+            kap = kappa_arr[0]
+            return (Ti, jnp.full(D.shape, kap, A.dtype), N,
+                    1.0 - (kap * N + D) / C[j])
+
+        Dp, Npq, Epq = _node_cross_products(A, mb, Tpi, kappa_arr, exact_E=False)
+        kappamid, S, UC, w = _reduced_T_weights(Npq, Dp / C[j], Epq / C[j],
+                                                kappaC, ucmin, smax)
+        T = jnp.einsum("pai,ap->ai", Tpi, w)
+        return T, kappamid * C[j], S, UC
+
+    T, kappa, Sigma, UC = jax.vmap(solve_one_output)(jnp.arange(n_out))
+    return T, kappa, Sigma, UC
+
+
 @functools.partial(jax.jit, static_argnames=("refine",))
 def cholesky_solve_mixed(A, mBhalf, C, kappaC, ucmin, smax, refine: int = 2):
     """

@@ -210,3 +210,28 @@ def test_mixed_precision_matches_f64(system):
                                           refine=3)
     assert np.max(np.abs(np.asarray(U1) - np.asarray(U0))) < 1e-6
     assert np.max(np.abs(np.asarray(S1) - np.asarray(S0))) < 1e-4
+
+
+def test_blocked_cholesky_matches_monolithic(system):
+    """Blocked f64 factorization (the TPU path) equals the XLA lowering."""
+    from pyimcom_tpu.solvers import cholesky_solve_blocked
+    from pyimcom_tpu.solvers.kernels import blocked_cho_solve, blocked_cholesky
+
+    A, mBhalf, C, _ = system
+    n = A.shape[0]
+    npad = ((n + 127) // 128) * 128
+    Ap = jnp.eye(npad, dtype=A.dtype).at[:n, :n].set(A)
+    Bp = jnp.zeros((1, mBhalf.shape[1], npad)).at[:, :, :n].set(mBhalf)
+    kap = 5e-4 * float(C[0])
+    L = np.asarray(blocked_cholesky(Ap + kap * jnp.eye(npad)))
+    Lref = np.linalg.cholesky(np.asarray(Ap) + kap * np.eye(npad))
+    np.testing.assert_allclose(L, Lref, rtol=0, atol=1e-10)
+    X = np.asarray(blocked_cho_solve(jnp.asarray(L), Bp[0].T))
+    Xref = np.linalg.solve(np.asarray(Ap) + kap * np.eye(npad), np.asarray(Bp[0]).T)
+    np.testing.assert_allclose(X, Xref, rtol=0, atol=1e-9)
+
+    for kappaC in [jnp.array([5e-4]), jnp.array([1e-5, 1e-4, 1e-3])]:
+        T0, k0, S0, U0 = cholesky_solve(Ap, Bp, C, kappaC, UCMIN, SMAX)
+        T1, k1, S1, U1 = cholesky_solve_blocked(Ap, Bp, C, kappaC, UCMIN, SMAX)
+        np.testing.assert_allclose(np.asarray(T1), np.asarray(T0), rtol=0, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(U1), np.asarray(U0), rtol=0, atol=1e-10)
