@@ -29,15 +29,19 @@ from .config import Config, Settings as Stn, Timer
 from .fitsio import HDUList, Header, ImageHDU, TableHDU, fits_read, fits_write
 from .layer import Mask, check_if_idsca_exists, get_all_data, get_sca_imagefile
 from .ops import psfmodels
+from . import psfgrp as _psfgrp
 from .psfgrp import (
     PSFGeometry,
     PSFGroup,
+    _interp_rects_dense,
     build_overlap_stack,
     interp_io_submatrix,
     interp_submatrix,
+    io_submatrix_rect_plan,
     outpsf_C_values,
     sample_psf_rotated,
     sample_psf_unrotated,
+    submatrix_rect_plan,
 )
 from .wcsutil import WCS, make_block_wcs
 
@@ -699,6 +703,72 @@ class Block:
             del self._submat_cache[key]
         return sub
 
+    def _precompute_stamp_mats(self, ji_in_s, xs, ys, imgs, out_x, out_y):
+        """
+        Fuse the dense-path interpolation work of one output stamp -- every
+        ii-submatrix not already cached plus the nine io-submatrices -- into
+        a single `_interp_rects_dense` sweep.
+
+        The per-submatrix path issues one dispatch chain per submatrix
+        (~60 per stamp); over the remote-TPU relay the dispatch latency,
+        not the compute, dominates.  One fused sweep packs the same
+        rectangles into the same few bucketed shapes but ~10x fewer device
+        round trips.  Cache/refcount semantics match `_get_iisubmat`
+        exactly: computed submatrices land in `_submat_cache`, join
+        `_submat_computed`, and release their overlap-stack reference.
+
+        Returns the list of nine (n_out, m, n_i) io-submatrices.
+        """
+        cfg = self.cfg
+        keys = [(ji, ji) for ji in ji_in_s]
+        keys += [(a, b) if a <= b else (b, a)
+                 for a, b in combinations(ji_in_s, 2)]
+
+        rects = []
+        ii_jobs = []   # (key, swap, okey, finalize, offset, n_rects)
+        for key in keys:
+            if key in self._submat_cache or key in self._submat_computed:
+                continue
+            ji1, ji2 = key
+            gp1, gp2 = group_of(ji1), group_of(ji2)
+            swap = gp1 > gp2
+            okey = (gp1, gp2) if not swap else (gp2, gp1)
+            stack, grpa, grpb = self._get_ii_overlap(*okey)
+            st1, st2 = self.instamps[ji1], self.instamps[ji2]
+            if gp1 == gp2:
+                n_in_eff = grpa.n_psf
+            else:
+                n_in_eff = np.sqrt(grpa.n_psf * grpb.n_psf)
+            if swap:
+                st1, st2 = st2, st1  # overlap stack is (grp2, grp1)
+            r, fin = submatrix_rect_plan(
+                self.geom, stack, st1.x_val, st1.y_val, st1.img_idx,
+                st2.x_val, st2.y_val, st2.img_idx,
+                grpa.idx_blk2grp, grpb.idx_blk2grp, grpb.n_psf,
+                cfg.flat_penalty, n_in_eff)
+            ii_jobs.append((key, swap, okey, fin, len(rects), len(r)))
+            rects += r
+
+        io_jobs = []   # (finalize, offset, n_rects)
+        for idx, ji in enumerate(ji_in_s):
+            stack, grp = self._get_io_overlap(group_of(ji))
+            r, fin = io_submatrix_rect_plan(
+                self.geom, stack, xs[idx], ys[idx], imgs[idx],
+                grp.idx_blk2grp, out_x, out_y, cfg.n_out)
+            io_jobs.append((fin, len(rects), len(r)))
+            rects += r
+
+        vals = _interp_rects_dense(rects)
+
+        for key, swap, okey, fin, off, nr in ii_jobs:
+            sub = fin(vals[off:off + nr])
+            if swap:
+                sub = sub.T
+            self._submat_cache[key] = sub
+            self._submat_computed.add(key)
+            self._release_ii_overlap(*okey)
+        return [fin(vals[off:off + nr]) for fin, off, nr in io_jobs]
+
     # ----- main coaddition loop ---------------------------------------------
 
     def coadd_output_stamps(self, sim_mode=False):
@@ -851,6 +921,12 @@ class Block:
         no_qlt = cfg.linear_algebra == "Empirical" and cfg.no_qlt_ctrl
 
         if not no_qlt:
+            # dense path: ONE fused interpolation sweep computes every
+            # uncached ii-submatrix and all nine io-submatrices
+            io_subs = (self._precompute_stamp_mats(ji_in_s, xs, ys, imgs,
+                                                   out_x, out_y)
+                       if _psfgrp._use_dense() else None)
+
             # ---- A matrix -------------------------------------------------
             A = np.zeros((n, n))
             for idx, ji in enumerate(ji_in_s):
@@ -877,11 +953,14 @@ class Block:
             # ---- -B/2 matrix ----------------------------------------------
             mBhalf = np.zeros((n_out, m, n))
             for idx, ji in enumerate(ji_in_s):
-                gp = group_of(ji)
-                stack, grp = self._get_io_overlap(gp)
-                sub = interp_io_submatrix(
-                    self.geom, stack, xs[idx], ys[idx], imgs[idx],
-                    grp.idx_blk2grp, out_x, out_y, n_out)
+                if io_subs is not None:
+                    sub = io_subs[idx]
+                else:
+                    gp = group_of(ji)
+                    stack, grp = self._get_io_overlap(gp)
+                    sub = interp_io_submatrix(
+                        self.geom, stack, xs[idx], ys[idx], imgs[idx],
+                        grp.idx_blk2grp, out_x, out_y, n_out)
                 mBhalf[:, :, cumsum[idx]:cumsum[idx + 1]] = sub
             C = self.outovlc
         else:

@@ -12,12 +12,20 @@ query-block) grid cell it
      image (resident in VMEM), and
   4. contracts the column band elementwise.
 
-VMEM footprint per program: image (~300 KB for a 275^2 overlap) + two
-(BLOCK_Q, ncol) scratch bands (~560 KB at BLOCK_Q=256) -- comfortably under
-the ~16 MB budget, with zero HBM traffic for the weights.
+Tiles cover BLOCK_R=8 rectangles x BLOCK_Q=128 queries (Mosaic requires the
+last two block dims divisible by (8, 128) or matching the array).  VMEM per
+program: 8 images (~2.6 MB for 287^2 overlaps) + (8, 128, ncol) bands
+(~2.4 MB) -- well under the ~16 MB budget, with zero HBM traffic for the
+weights.  Mosaic has no 64-bit types, so the jit wrapper splits the f64
+query positions into (int32 cell, f32 phase) before the kernel; |phase| <=
+0.5 keeps 3e-8 phase precision in f32.
 
 Contract matches ops.interp.interp2d_dense exactly (tested in interpret
-mode); enable in the pipeline with PYIMCOM_PALLAS=1.
+mode); enable in the pipeline with PYIMCOM_PALLAS=1.  NOTE: on the axon
+remote-TPU relay the Mosaic compile service is unavailable
+(tpu_compile_helper cannot initialize libtpu), so this path currently
+validates in interpret mode only; the XLA dense formulation is the
+production default.
 """
 
 from __future__ import annotations
@@ -32,7 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .interp import _HI_MARGIN, _LO, D5512_EVEN, D5512_ODD, KERNEL_SIZE
 
-BLOCK_Q = 256
+# Mosaic requires the last two block dims to be divisible by (8, 128) or
+# match the array, so tiles cover 8 rectangles x 128 queries.
+BLOCK_R = 8
+BLOCK_Q = 128
 
 
 def _weights10(fh):
@@ -59,31 +70,31 @@ def _weights10(fh):
     return taps
 
 
-def _band(xq, ncol):
-    """(Q, ncol) banded weight matrix + validity for one query block."""
-    xi = jnp.floor(xq).astype(jnp.int32)
+def _band(xi, fh, ncol):
+    """(..., ncol) banded weight matrix + validity from split positions."""
     valid = (xi >= _LO) & (xi < ncol - _HI_MARGIN)
-    fh = xq - xi.astype(xq.dtype) - 0.5
-    taps = _weights10(fh)                                  # list of 10 x (Q,)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (xq.shape[0], ncol), 1)
-    k = cols - xi[:, None] + _LO                           # (Q, ncol)
-    W = jnp.zeros((xq.shape[0], ncol), dtype=xq.dtype)
+    taps = _weights10(fh)                                  # list of 10 x fh.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, fh.shape + (ncol,), fh.ndim)
+    k = cols - xi[..., None] + _LO                         # (..., ncol)
+    W = jnp.zeros(fh.shape + (ncol,), dtype=fh.dtype)
     for tap in range(KERNEL_SIZE):
-        W = W + jnp.where(k == tap, taps[tap][:, None], 0.0)
+        W = W + jnp.where(k == tap, taps[tap][..., None], 0.0)
     return W, valid
 
 
-def _kernel(img_ref, x_ref, y_ref, out_ref):
-    img = img_ref[0]                                       # (ny, nx) VMEM
-    ny, nx = img.shape
-    xq = x_ref[0]                                          # (Q,)
-    yq = y_ref[0]
-    Wy, vy = _band(yq, ny)                                 # (Q, ny)
-    Wx, vx = _band(xq, nx)                                 # (Q, nx)
-    G = jnp.dot(Wy, img, preferred_element_type=img.dtype,
-                precision=jax.lax.Precision.HIGHEST)       # MXU (Q, nx)
+def _kernel(img_ref, xi_ref, fx_ref, yi_ref, fy_ref, out_ref):
+    img = img_ref[...]                                     # (BLOCK_R, ny, nx)
+    ny, nx = img.shape[-2:]
+    # Mosaic has no 64-bit types: the wrapper extracts the integer cell and
+    # the fractional phase in f64 under XLA and passes (int32, f32) pairs
+    # (|phase| <= 0.5 keeps 3e-8 precision in f32)
+    Wy, vy = _band(yi_ref[...], fy_ref[...], ny)           # (R, Q, ny)
+    Wx, vx = _band(xi_ref[...], fx_ref[...], nx)           # (R, Q, nx)
+    G = jax.lax.dot_general(Wy, img, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=img.dtype,
+                            precision=jax.lax.Precision.HIGHEST)  # (R, Q, nx)
     out = jnp.sum(G * Wx, axis=-1)
-    out_ref[0] = jnp.where(vx & vy, out, 0.0)
+    out_ref[...] = jnp.where(vx & vy, out, 0.0).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -91,32 +102,38 @@ def interp2d_dense_pallas(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                           interpret: bool = False) -> jnp.ndarray:
     """
     Same contract as ops.interp.interp2d_dense: images (R, ny, nx),
-    x, y (R, Nq) -> (R, Nq), zero off-grid.  Nq must be a multiple of
-    BLOCK_Q (the callers' bucket sizes are).
+    x, y (R, Nq) -> (R, Nq), zero off-grid.  R must be a multiple of
+    BLOCK_R and Nq of BLOCK_Q (the callers' batch/bucket sizes are).
     """
     R, ny, nx = images.shape
     _, Nq = x.shape
-    if Nq % BLOCK_Q:
-        raise ValueError(f"Nq={Nq} must be a multiple of {BLOCK_Q}")
-    nq_blocks = Nq // BLOCK_Q
+    if Nq % BLOCK_Q or R % BLOCK_R:
+        raise ValueError(f"(R, Nq)=({R}, {Nq}) must be multiples of "
+                         f"({BLOCK_R}, {BLOCK_Q})")
 
-    grid = (R, nq_blocks)
+    # split in the query dtype (f64 in the pipeline) before entering Mosaic
+    xi = jnp.floor(x)
+    yi = jnp.floor(y)
+    fx = (x - xi - 0.5).astype(jnp.float32)
+    fy = (y - yi - 0.5).astype(jnp.float32)
+    xi = xi.astype(jnp.int32)
+    yi = yi.astype(jnp.int32)
+
+    grid = (R // BLOCK_R, Nq // BLOCK_Q)
+    qspec = pl.BlockSpec((BLOCK_R, BLOCK_Q), lambda r, q: (r, q),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ny, nx), lambda r, q: (r, 0, 0),
+            pl.BlockSpec((BLOCK_R, ny, nx), lambda r, q: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q), lambda r, q: (r, q),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q), lambda r, q: (r, q),
-                         memory_space=pltpu.VMEM),
+            qspec, qspec, qspec, qspec,
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q), lambda r, q: (r, q),
-                               memory_space=pltpu.VMEM),
+        out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((R, Nq), images.dtype),
         interpret=interpret,
-    )(images, x, y)
+    )(images, xi, fx, yi, fy)
 
 
 def pallas_enabled() -> bool:

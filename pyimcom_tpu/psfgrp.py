@@ -240,13 +240,19 @@ _DENSE_BUCKETS = (1024, 4096, 16384)
 _DENSE_RBATCH_BY_BUCKET = {1024: 64, 4096: 32, 16384: 8}
 
 
-def _interp_rects_dense(ovl_stack, rects):
+def _interp_rects_dense(rects):
     """
     Evaluate scattered-query rectangles against per-rectangle overlap images
     using the gather-free dense kernel, batched and bucket-padded so only a
-    handful of shapes ever compile.
+    handful of shapes ever compile.  Rectangles may come from *different*
+    overlap stacks: all referenced stacks are concatenated on device ONCE
+    per sweep and each batch selects its images with a single `take`, so an
+    entire output stamp's system-matrix work costs a few dozen device ops
+    total (per-rect eager slicing would cost thousands, and over a remote
+    TPU relay dispatch count is the bottleneck).
 
-    rects : list of (k, qx, qy) -- stack index and flat numpy query arrays.
+    rects : list of (stack, k, qx, qy) -- a device (n_k, ny, nx) overlap
+        stack, an index into it, and flat numpy query arrays.
     Returns a list of flat numpy value arrays.
     """
     import jax.numpy as jnp
@@ -254,15 +260,35 @@ def _interp_rects_dense(ovl_stack, rects):
 
     from .ops.interp import interp2d_dense
 
-    results = [np.zeros(len(qx)) for (_k, qx, _qy) in rects]
+    results = [np.zeros(len(qx)) for (_s, _k, qx, _qy) in rects]
+    if not rects:
+        return results
+
+    # combine all distinct stacks into one device array (one dispatch)
+    stack_off = {}
+    stacks = []
+    total = 0
+    for (stk, _k, _qx, _qy) in rects:
+        if id(stk) not in stack_off:
+            stack_off[id(stk)] = total
+            stacks.append(stk)
+            total += stk.shape[0]
+    dt = compute_dtype()
+    combined = (stacks[0] if len(stacks) == 1
+                else jnp.concatenate(stacks, axis=0)).astype(dt)
+
     pieces = []
     maxb = _DENSE_BUCKETS[-1]
-    for rid, (k, qx, qy) in enumerate(rects):
+    for rid, (stk, k, qx, qy) in enumerate(rects):
+        kg = stack_off[id(stk)] + k
         for off in range(0, len(qx), maxb):
             q1 = qx[off:off + maxb]
             bucket = next(b for b in _DENSE_BUCKETS if b >= len(q1))
-            pieces.append((rid, off, k, q1, qy[off:off + maxb], bucket))
+            pieces.append((rid, off, kg, q1, qy[off:off + maxb], bucket))
 
+    from .ops.interp_pallas import interp2d_dense_pallas, pallas_enabled
+
+    fn = interp2d_dense_pallas if pallas_enabled() else interp2d_dense
     groups = defaultdict(list)
     for p in pieces:
         groups[p[5]].append(p)
@@ -272,20 +298,16 @@ def _interp_rects_dense(ovl_stack, rects):
             batch = plist[i0:i0 + rbatch]
             xq = np.full((rbatch, bucket), -100.0)
             yq = np.full((rbatch, bucket), -100.0)
-            ks = [0] * rbatch
-            for j, (rid, off, k, q1, q2, _b) in enumerate(batch):
+            ks = np.zeros(rbatch, dtype=np.int32)
+            for j, (rid, off, kg, q1, q2, _b) in enumerate(batch):
                 xq[j, :len(q1)] = q1
                 yq[j, :len(q2)] = q2
-                ks[j] = k
-            dt = compute_dtype()
-            imgs = jnp.stack([ovl_stack[k] for k in ks]).astype(dt)
-            from .ops.interp_pallas import interp2d_dense_pallas, pallas_enabled
-
+                ks[j] = kg
+            imgs = jnp.take(combined, jnp.asarray(ks), axis=0)
             # positions stay f64: the fractional phase is extracted in f64
             # inside the kernel before the cast to the image dtype
-            fn = interp2d_dense_pallas if pallas_enabled() else interp2d_dense
             vals = np.asarray(fn(imgs, jnp.asarray(xq), jnp.asarray(yq)))
-            for j, (rid, off, _k, q1, _q2, _b) in enumerate(batch):
+            for j, (rid, off, _kg, q1, _q2, _b) in enumerate(batch):
                 results[rid][off:off + len(q1)] = vals[j, :len(q1)]
     return results
 
@@ -298,6 +320,44 @@ def _image_runs(img_idx):
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [len(img_idx)]])
     return [(int(img_idx[s]), int(s), int(e)) for s, e in zip(starts, ends)]
+
+
+def submatrix_rect_plan(geom: PSFGeometry, ovl_stack, x1, y1, img1,
+                        x2, y2, img2, blk2grp1, blk2grp2, n_psf2: int,
+                        flat_penalty: float, n_in_eff: float):
+    """
+    Build the dense-path rectangle plan for one system submatrix.
+
+    Returns (rects, finalize): `rects` is a list of (img, qx, qy) suitable
+    for `_interp_rects_dense`; `finalize(vals)` assembles the corresponding
+    flat value arrays into the (n1, n2) submatrix (applying the flat-field
+    penalty).  Splitting plan from evaluation lets the block driver fuse
+    every uncached submatrix of an output stamp into ONE device sweep
+    instead of one dispatch chain per submatrix.
+    """
+    n1, n2 = len(x1), len(x2)
+    off = geom.nc_ovl + INTERP_PAD
+    # per-image-pair rectangles (pixels are image-sorted within a stamp)
+    rects = []
+    slices = []
+    for im1, s1, e1 in _image_runs(img1):
+        for im2, s2, e2 in _image_runs(img2):
+            ddx = (x1[s1:e1, None] - x2[None, s2:e2]) / geom.dscale + off
+            ddy = (y1[s1:e1, None] - y2[None, s2:e2]) / geom.dscale + off
+            k = int(blk2grp1[im1]) * n_psf2 + int(blk2grp2[im2])
+            rects.append((ovl_stack, k, ddx.ravel(), ddy.ravel()))
+            slices.append((s1, e1, s2, e2))
+
+    def finalize(vals):
+        res = np.zeros((n1, n2))
+        for (s1, e1, s2, e2), v in zip(slices, vals):
+            res[s1:e1, s2:e2] = v.reshape(e1 - s1, e2 - s2)
+        if flat_penalty != 0.0:
+            res = res - flat_penalty / n_in_eff
+            res = res + flat_penalty * (img1[:, None] == img2[None, :])
+        return res
+
+    return rects, finalize
 
 
 def interp_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, x2, y2, img2,
@@ -324,22 +384,10 @@ def interp_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, x2, y2, img2,
     off = geom.nc_ovl + INTERP_PAD
 
     if _use_dense():
-        # per-image-pair rectangles (pixels are image-sorted within a stamp)
-        runs1 = _image_runs(img1)
-        runs2 = _image_runs(img2)
-        rects = []
-        slices = []
-        for im1, s1, e1 in runs1:
-            for im2, s2, e2 in runs2:
-                ddx = (x1[s1:e1, None] - x2[None, s2:e2]) / geom.dscale + off
-                ddy = (y1[s1:e1, None] - y2[None, s2:e2]) / geom.dscale + off
-                k = int(blk2grp1[im1]) * n_psf2 + int(blk2grp2[im2])
-                rects.append((k, ddx.ravel(), ddy.ravel()))
-                slices.append((s1, e1, s2, e2))
-        vals = _interp_rects_dense(ovl_stack, rects)
-        res = np.zeros((n1, n2))
-        for (s1, e1, s2, e2), v in zip(slices, vals):
-            res[s1:e1, s2:e2] = v.reshape(e1 - s1, e2 - s2)
+        rects, finalize = submatrix_rect_plan(
+            geom, ovl_stack, x1, y1, img1, x2, y2, img2,
+            blk2grp1, blk2grp2, n_psf2, flat_penalty, n_in_eff)
+        return finalize(_interp_rects_dense(rects))
     else:
         ddx = (x1[:, None] - x2[None, :]) / geom.dscale + off
         ddy = (y1[:, None] - y2[None, :]) / geom.dscale + off
@@ -350,10 +398,38 @@ def interp_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, x2, y2, img2,
                               jnp.asarray(ddy.ravel()), jnp.asarray(which.ravel()))
         res = np.asarray(vals).reshape(n1, n2)
 
-    if flat_penalty != 0.0:
-        res = res - flat_penalty / n_in_eff
-        res = res + flat_penalty * (img1[:, None] == img2[None, :])
-    return res
+        if flat_penalty != 0.0:
+            res = res - flat_penalty / n_in_eff
+            res = res + flat_penalty * (img1[:, None] == img2[None, :])
+        return res
+
+
+def io_submatrix_rect_plan(geom: PSFGeometry, ovl_stack, x1, y1, img1,
+                           blk2grp1, out_x, out_y, n_out: int):
+    """
+    Rectangle plan for one input-output submatrix (dense path); see
+    `submatrix_rect_plan`.  finalize(vals) returns (n_out, m, n1).
+    """
+    n1 = len(x1)
+    m = len(out_x)
+    off = geom.nc_ovl + INTERP_PAD
+    ddx = (x1[:, None] - out_x[None, :]) / geom.dscale + off
+    ddy = (y1[:, None] - out_y[None, :]) / geom.dscale + off
+    rects = []
+    slices = []
+    for im1, s1, e1 in _image_runs(img1):
+        for j_out in range(n_out):
+            k = int(blk2grp1[im1]) * n_out + j_out
+            rects.append((ovl_stack, k, ddx[s1:e1].ravel(), ddy[s1:e1].ravel()))
+            slices.append((j_out, s1, e1))
+
+    def finalize(vals):
+        res = np.zeros((n_out, m, n1))
+        for (j_out, s1, e1), v in zip(slices, vals):
+            res[j_out, :, s1:e1] = v.reshape(e1 - s1, m).T
+        return res
+
+    return rects, finalize
 
 
 def interp_io_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, blk2grp1,
@@ -381,17 +457,9 @@ def interp_io_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, blk2grp1,
     g1 = blk2grp1[img1]
 
     if _use_dense():
-        rects = []
-        slices = []
-        for im1, s1, e1 in _image_runs(img1):
-            for j_out in range(n_out):
-                k = int(blk2grp1[im1]) * n_out + j_out
-                rects.append((k, ddx[s1:e1].ravel(), ddy[s1:e1].ravel()))
-                slices.append((j_out, s1, e1))
-        vals = _interp_rects_dense(ovl_stack, rects)
-        for (j_out, s1, e1), v in zip(slices, vals):
-            res[j_out, :, s1:e1] = v.reshape(e1 - s1, m).T
-        return res
+        rects, finalize = io_submatrix_rect_plan(
+            geom, ovl_stack, x1, y1, img1, blk2grp1, out_x, out_y, n_out)
+        return finalize(_interp_rects_dense(rects))
 
     for j_out in range(n_out):
         which = (g1[:, None] * n_out + j_out) * np.ones((1, m), dtype=np.int64)

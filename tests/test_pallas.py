@@ -13,10 +13,11 @@ def test_pallas_matches_dense():
     from pyimcom_tpu.ops.interp_pallas import interp2d_dense_pallas
 
     rng = np.random.default_rng(0)
-    R, Nq, ns = 3, 1024, 275
+    # production shapes: f32 images, f64 query positions, R multiple of 8
+    R, Nq, ns = 8, 1024, 275
     imgs = jnp.asarray(rng.normal(size=(R, ns, ns)).astype(np.float32))
-    x = jnp.asarray(rng.uniform(-10, ns + 10, (R, Nq)).astype(np.float32))
-    y = jnp.asarray(rng.uniform(-10, ns + 10, (R, Nq)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-10, ns + 10, (R, Nq)))
+    y = jnp.asarray(rng.uniform(-10, ns + 10, (R, Nq)))
     ref = np.asarray(interp2d_dense(imgs, x, y))
     pal = np.asarray(interp2d_dense_pallas(imgs, x, y, interpret=True))
     scale = np.abs(ref).max()
