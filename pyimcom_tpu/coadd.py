@@ -724,6 +724,31 @@ class Block:
         keys += [(a, b) if a <= b else (b, a)
                  for a, b in combinations(ji_in_s, 2)]
 
+        # coordinate tables for the sweep: the full pixel arrays of the nine
+        # input stamps (ii-submatrices), the selected pixel arrays
+        # (io-submatrices), and the output grid -- a few tens of KB uploaded
+        # once, instead of raveled O(n^2) query grids
+        parts_x, parts_y = [], []
+        cur = 0
+        base_full = {}
+        for ji in ji_in_s:
+            st = self.instamps[ji]
+            base_full[ji] = cur
+            parts_x.append(st.x_val)
+            parts_y.append(st.y_val)
+            cur += len(st.x_val)
+        base_sel = []
+        for idx in range(len(ji_in_s)):
+            base_sel.append(cur)
+            parts_x.append(xs[idx])
+            parts_y.append(ys[idx])
+            cur += len(xs[idx])
+        base_out = cur
+        parts_x.append(out_x)
+        parts_y.append(out_y)
+        xt = np.concatenate(parts_x)
+        yt = np.concatenate(parts_y)
+
         rects = []
         ii_jobs = []   # (key, swap, okey, finalize, offset, n_rects)
         for key in keys:
@@ -734,31 +759,33 @@ class Block:
             swap = gp1 > gp2
             okey = (gp1, gp2) if not swap else (gp2, gp1)
             stack, grpa, grpb = self._get_ii_overlap(*okey)
-            st1, st2 = self.instamps[ji1], self.instamps[ji2]
             if gp1 == gp2:
                 n_in_eff = grpa.n_psf
             else:
                 n_in_eff = np.sqrt(grpa.n_psf * grpb.n_psf)
             if swap:
-                st1, st2 = st2, st1  # overlap stack is (grp2, grp1)
+                ji1, ji2 = ji2, ji1  # overlap stack is (grp2, grp1)
+            st1, st2 = self.instamps[ji1], self.instamps[ji2]
             r, fin = submatrix_rect_plan(
-                self.geom, stack, st1.x_val, st1.y_val, st1.img_idx,
-                st2.x_val, st2.y_val, st2.img_idx,
+                self.geom, stack, st1.img_idx, st2.img_idx,
                 grpa.idx_blk2grp, grpb.idx_blk2grp, grpb.n_psf,
-                cfg.flat_penalty, n_in_eff)
+                cfg.flat_penalty, n_in_eff, base_full[ji1], base_full[ji2])
             ii_jobs.append((key, swap, okey, fin, len(rects), len(r)))
             rects += r
 
         io_jobs = []   # (finalize, offset, n_rects)
+        m = len(out_x)
         for idx, ji in enumerate(ji_in_s):
             stack, grp = self._get_io_overlap(group_of(ji))
             r, fin = io_submatrix_rect_plan(
-                self.geom, stack, xs[idx], ys[idx], imgs[idx],
-                grp.idx_blk2grp, out_x, out_y, cfg.n_out)
+                self.geom, stack, imgs[idx], grp.idx_blk2grp, cfg.n_out,
+                base_sel[idx], base_out, m)
             io_jobs.append((fin, len(rects), len(r)))
             rects += r
 
-        vals = _interp_rects_dense(rects)
+        off_grid = self.geom.nc_ovl + _psfgrp.INTERP_PAD
+        vals = _interp_rects_dense(rects, xt, yt, 1.0 / self.geom.dscale,
+                                   off_grid)
 
         for key, swap, okey, fin, off, nr in ii_jobs:
             sub = fin(vals[off:off + nr])

@@ -305,6 +305,42 @@ def interp2d_dense(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.n
     return jnp.where(vx & vy, out, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def interp2d_dense_pairs(images: jnp.ndarray, xt: jnp.ndarray, yt: jnp.ndarray,
+                         meta: jnp.ndarray, inv_scale, off_grid,
+                         bucket: int) -> jnp.ndarray:
+    """
+    Gather-free interpolation at implicit outer-difference queries.
+
+    The system-matrix queries are separations between pixel positions:
+    rect (p, q) evaluates at ((x1[p] - x2[q]) * inv_scale + off_grid, ...).
+    Uploading those raveled grids costs O(n^2) host->device bandwidth
+    (~75 MB per output stamp over the remote relay); this kernel instead
+    takes the coordinate TABLES (a few KB) and forms the grids on device.
+
+    images : (R, ny, nx) source image per query row.
+    xt, yt : (L,) coordinate tables (f64 for exact phase extraction).
+    meta : (R, 5) int32 rows [i1_start, i2_start, w2, flat_off, n_valid];
+        query j of row r sits at flat index f = flat_off + j of a
+        row-major (w1, w2) rectangle: i1 = i1_start + f // w2,
+        i2 = i2_start + f % w2.  Entries past n_valid return 0.
+    bucket : static query count per row.
+
+    Returns (R, bucket) interpolated values, 0 where invalid/off-grid.
+    """
+    j = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+    f = meta[:, 3:4] + j
+    w2 = jnp.maximum(meta[:, 2:3], 1)
+    i1 = meta[:, 0:1] + f // w2
+    i2 = meta[:, 1:2] + f % w2
+    valid = j < meta[:, 4:5]
+    i1 = jnp.where(valid, i1, 0)
+    i2 = jnp.where(valid, i2, 0)
+    qx = jnp.where(valid, (xt[i1] - xt[i2]) * inv_scale + off_grid, -100.0)
+    qy = jnp.where(valid, (yt[i1] - yt[i2]) * inv_scale + off_grid, -100.0)
+    return interp2d_dense(images, qx, qy)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def grid_interp_dense(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """

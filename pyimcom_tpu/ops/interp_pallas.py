@@ -136,6 +136,27 @@ def interp2d_dense_pallas(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     )(images, xi, fx, yi, fy)
 
 
+@functools.partial(jax.jit, static_argnames=("bucket", "interpret"))
+def interp2d_dense_pairs_pallas(images, xt, yt, meta, inv_scale, off_grid,
+                                bucket: int, interpret: bool = False):
+    """
+    Outer-difference-query variant (same contract as
+    ops.interp.interp2d_dense_pairs): queries are formed on device in f64
+    under XLA, then interpolated by the Pallas kernel.
+    """
+    j = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+    f = meta[:, 3:4] + j
+    w2 = jnp.maximum(meta[:, 2:3], 1)
+    i1 = meta[:, 0:1] + f // w2
+    i2 = meta[:, 1:2] + f % w2
+    valid = j < meta[:, 4:5]
+    i1 = jnp.where(valid, i1, 0)
+    i2 = jnp.where(valid, i2, 0)
+    qx = jnp.where(valid, (xt[i1] - xt[i2]) * inv_scale + off_grid, -100.0)
+    qy = jnp.where(valid, (yt[i1] - yt[i2]) * inv_scale + off_grid, -100.0)
+    return interp2d_dense_pallas(images, qx, qy, interpret)
+
+
 def pallas_enabled() -> bool:
     """Pallas interp path toggle (PYIMCOM_PALLAS=1) -- TPU only."""
     import os

@@ -240,27 +240,41 @@ _DENSE_BUCKETS = (1024, 4096, 16384)
 _DENSE_RBATCH_BY_BUCKET = {1024: 64, 4096: 32, 16384: 8}
 
 
-def _interp_rects_dense(rects):
-    """
-    Evaluate scattered-query rectangles against per-rectangle overlap images
-    using the gather-free dense kernel, batched and bucket-padded so only a
-    handful of shapes ever compile.  Rectangles may come from *different*
-    overlap stacks: all referenced stacks are concatenated on device ONCE
-    per sweep and each batch selects its images with a single `take`, so an
-    entire output stamp's system-matrix work costs a few dozen device ops
-    total (per-rect eager slicing would cost thousands, and over a remote
-    TPU relay dispatch count is the bottleneck).
+# coordinate tables are padded to multiples of this so only a handful of
+# table lengths ever compile
+_TABLE_PAD = 2048
 
-    rects : list of (stack, k, qx, qy) -- a device (n_k, ny, nx) overlap
-        stack, an index into it, and flat numpy query arrays.
-    Returns a list of flat numpy value arrays.
+
+def _interp_rects_dense(rects, xt, yt, inv_scale, off_grid):
+    """
+    Evaluate outer-difference query rectangles against per-rectangle overlap
+    images using the gather-free dense kernel, batched and bucket-padded so
+    only a handful of shapes ever compile.
+
+    Two remote-relay bottlenecks shape this design:
+
+    * dispatch count -- all referenced overlap stacks are concatenated on
+      device ONCE per sweep and each batch selects its images with a single
+      `take`, so an entire output stamp's system-matrix work costs a few
+      dozen device ops (per-rect eager slicing would cost thousands);
+    * host->device bandwidth -- queries are separations between coordinate-
+      table entries, formed ON DEVICE from (start, width) metadata
+      (`ops.interp.interp2d_dense_pairs`), so the upload is the (L,) tables
+      (KBs) instead of the raveled O(n^2) query grids (~75 MB per stamp).
+
+    rects : list of (stack, k, i1_start, w1, i2_start, w2) -- a device
+        (n_k, ny, nx) overlap stack, an index into it, and the table spans:
+        rect (p, q) evaluates at ((xt[i1+p] - xt[i2+q]) * inv_scale +
+        off_grid, same in y), raveled row-major.
+    xt, yt : 1-D host float64 coordinate tables.
+    Returns a list of flat numpy value arrays (length w1*w2 each).
     """
     import jax.numpy as jnp
     from collections import defaultdict
 
-    from .ops.interp import interp2d_dense
+    from .ops.interp import interp2d_dense_pairs
 
-    results = [np.zeros(len(qx)) for (_s, _k, qx, _qy) in rects]
+    results = [np.zeros(w1 * w2) for (_s, _k, _i1, w1, _i2, w2) in rects]
     if not rects:
         return results
 
@@ -268,7 +282,7 @@ def _interp_rects_dense(rects):
     stack_off = {}
     stacks = []
     total = 0
-    for (stk, _k, _qx, _qy) in rects:
+    for (stk, *_rest) in rects:
         if id(stk) not in stack_off:
             stack_off[id(stk)] = total
             stacks.append(stk)
@@ -277,38 +291,46 @@ def _interp_rects_dense(rects):
     combined = (stacks[0] if len(stacks) == 1
                 else jnp.concatenate(stacks, axis=0)).astype(dt)
 
+    L = len(xt)
+    Lp = max(_TABLE_PAD, -(-L // _TABLE_PAD) * _TABLE_PAD)
+    xt_d = jnp.asarray(np.pad(np.asarray(xt, dtype=np.float64), (0, Lp - L)))
+    yt_d = jnp.asarray(np.pad(np.asarray(yt, dtype=np.float64), (0, Lp - L)))
+
     pieces = []
     maxb = _DENSE_BUCKETS[-1]
-    for rid, (stk, k, qx, qy) in enumerate(rects):
+    for rid, (stk, k, i1s, w1, i2s, w2) in enumerate(rects):
+        if w1 == 0 or w2 == 0:
+            continue
         kg = stack_off[id(stk)] + k
-        for off in range(0, len(qx), maxb):
-            q1 = qx[off:off + maxb]
-            bucket = next(b for b in _DENSE_BUCKETS if b >= len(q1))
-            pieces.append((rid, off, kg, q1, qy[off:off + maxb], bucket))
+        nq = w1 * w2
+        for off in range(0, nq, maxb):
+            nval = min(maxb, nq - off)
+            bucket = next(b for b in _DENSE_BUCKETS if b >= nval)
+            pieces.append((rid, off, kg, i1s, i2s, w2, nval, bucket))
 
-    from .ops.interp_pallas import interp2d_dense_pallas, pallas_enabled
+    from .ops.interp_pallas import interp2d_dense_pairs_pallas, pallas_enabled
 
-    fn = interp2d_dense_pallas if pallas_enabled() else interp2d_dense
+    fn = interp2d_dense_pairs_pallas if pallas_enabled() else interp2d_dense_pairs
     groups = defaultdict(list)
     for p in pieces:
-        groups[p[5]].append(p)
+        groups[p[7]].append(p)
     for bucket, plist in groups.items():
         rbatch = _DENSE_RBATCH_BY_BUCKET[bucket]
         for i0 in range(0, len(plist), rbatch):
             batch = plist[i0:i0 + rbatch]
-            xq = np.full((rbatch, bucket), -100.0)
-            yq = np.full((rbatch, bucket), -100.0)
+            meta = np.zeros((rbatch, 5), dtype=np.int32)
+            meta[:, 2] = 1  # width placeholder for padded rows (n_valid=0)
             ks = np.zeros(rbatch, dtype=np.int32)
-            for j, (rid, off, kg, q1, q2, _b) in enumerate(batch):
-                xq[j, :len(q1)] = q1
-                yq[j, :len(q2)] = q2
+            for j, (rid, off, kg, i1s, i2s, w2, nval, _b) in enumerate(batch):
+                meta[j] = (i1s, i2s, w2, off, nval)
                 ks[j] = kg
             imgs = jnp.take(combined, jnp.asarray(ks), axis=0)
-            # positions stay f64: the fractional phase is extracted in f64
-            # inside the kernel before the cast to the image dtype
-            vals = np.asarray(fn(imgs, jnp.asarray(xq), jnp.asarray(yq)))
-            for j, (rid, off, _kg, q1, _q2, _b) in enumerate(batch):
-                results[rid][off:off + len(q1)] = vals[j, :len(q1)]
+            # tables stay f64: the fractional phase is extracted in f64
+            # on device before the cast to the image dtype
+            vals = np.asarray(fn(imgs, xt_d, yt_d, jnp.asarray(meta),
+                                 inv_scale, off_grid, bucket))
+            for j, (rid, off, _kg, _i1, _i2, _w2, nval, _b) in enumerate(batch):
+                results[rid][off:off + nval] = vals[j, :nval]
     return results
 
 
@@ -322,30 +344,30 @@ def _image_runs(img_idx):
     return [(int(img_idx[s]), int(s), int(e)) for s, e in zip(starts, ends)]
 
 
-def submatrix_rect_plan(geom: PSFGeometry, ovl_stack, x1, y1, img1,
-                        x2, y2, img2, blk2grp1, blk2grp2, n_psf2: int,
-                        flat_penalty: float, n_in_eff: float):
+def submatrix_rect_plan(geom: PSFGeometry, ovl_stack, img1, img2,
+                        blk2grp1, blk2grp2, n_psf2: int,
+                        flat_penalty: float, n_in_eff: float,
+                        base1: int, base2: int):
     """
     Build the dense-path rectangle plan for one system submatrix.
 
-    Returns (rects, finalize): `rects` is a list of (img, qx, qy) suitable
-    for `_interp_rects_dense`; `finalize(vals)` assembles the corresponding
-    flat value arrays into the (n1, n2) submatrix (applying the flat-field
+    Returns (rects, finalize): `rects` is a list of index-span rectangles
+    for `_interp_rects_dense` (base1/base2 locate the two pixel groups in
+    the sweep's coordinate tables); `finalize(vals)` assembles the flat
+    value arrays into the (n1, n2) submatrix (applying the flat-field
     penalty).  Splitting plan from evaluation lets the block driver fuse
     every uncached submatrix of an output stamp into ONE device sweep
     instead of one dispatch chain per submatrix.
     """
-    n1, n2 = len(x1), len(x2)
-    off = geom.nc_ovl + INTERP_PAD
+    n1, n2 = len(img1), len(img2)
     # per-image-pair rectangles (pixels are image-sorted within a stamp)
     rects = []
     slices = []
     for im1, s1, e1 in _image_runs(img1):
         for im2, s2, e2 in _image_runs(img2):
-            ddx = (x1[s1:e1, None] - x2[None, s2:e2]) / geom.dscale + off
-            ddy = (y1[s1:e1, None] - y2[None, s2:e2]) / geom.dscale + off
             k = int(blk2grp1[im1]) * n_psf2 + int(blk2grp2[im2])
-            rects.append((ovl_stack, k, ddx.ravel(), ddy.ravel()))
+            rects.append((ovl_stack, k, base1 + s1, e1 - s1,
+                          base2 + s2, e2 - s2))
             slices.append((s1, e1, s2, e2))
 
     def finalize(vals):
@@ -385,9 +407,12 @@ def interp_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, x2, y2, img2,
 
     if _use_dense():
         rects, finalize = submatrix_rect_plan(
-            geom, ovl_stack, x1, y1, img1, x2, y2, img2,
-            blk2grp1, blk2grp2, n_psf2, flat_penalty, n_in_eff)
-        return finalize(_interp_rects_dense(rects))
+            geom, ovl_stack, img1, img2, blk2grp1, blk2grp2, n_psf2,
+            flat_penalty, n_in_eff, 0, n1)
+        vals = _interp_rects_dense(
+            rects, np.concatenate([x1, x2]), np.concatenate([y1, y2]),
+            1.0 / geom.dscale, off)
+        return finalize(vals)
     else:
         ddx = (x1[:, None] - x2[None, :]) / geom.dscale + off
         ddy = (y1[:, None] - y2[None, :]) / geom.dscale + off
@@ -404,23 +429,21 @@ def interp_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, x2, y2, img2,
         return res
 
 
-def io_submatrix_rect_plan(geom: PSFGeometry, ovl_stack, x1, y1, img1,
-                           blk2grp1, out_x, out_y, n_out: int):
+def io_submatrix_rect_plan(geom: PSFGeometry, ovl_stack, img1, blk2grp1,
+                           n_out: int, base1: int, out_base: int, m: int):
     """
     Rectangle plan for one input-output submatrix (dense path); see
-    `submatrix_rect_plan`.  finalize(vals) returns (n_out, m, n1).
+    `submatrix_rect_plan`.  base1 locates the input pixels and out_base the
+    m output-grid points in the sweep's coordinate tables.
+    finalize(vals) returns (n_out, m, n1).
     """
-    n1 = len(x1)
-    m = len(out_x)
-    off = geom.nc_ovl + INTERP_PAD
-    ddx = (x1[:, None] - out_x[None, :]) / geom.dscale + off
-    ddy = (y1[:, None] - out_y[None, :]) / geom.dscale + off
+    n1 = len(img1)
     rects = []
     slices = []
     for im1, s1, e1 in _image_runs(img1):
         for j_out in range(n_out):
             k = int(blk2grp1[im1]) * n_out + j_out
-            rects.append((ovl_stack, k, ddx[s1:e1].ravel(), ddy[s1:e1].ravel()))
+            rects.append((ovl_stack, k, base1 + s1, e1 - s1, out_base, m))
             slices.append((j_out, s1, e1))
 
     def finalize(vals):
@@ -452,15 +475,18 @@ def interp_io_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, blk2grp1,
     if n1 == 0:
         return res
     off = geom.nc_ovl + INTERP_PAD
-    ddx = (x1[:, None] - out_x[None, :]) / geom.dscale + off
-    ddy = (y1[:, None] - out_y[None, :]) / geom.dscale + off
-    g1 = blk2grp1[img1]
 
     if _use_dense():
         rects, finalize = io_submatrix_rect_plan(
-            geom, ovl_stack, x1, y1, img1, blk2grp1, out_x, out_y, n_out)
-        return finalize(_interp_rects_dense(rects))
+            geom, ovl_stack, img1, blk2grp1, n_out, 0, n1, m)
+        vals = _interp_rects_dense(
+            rects, np.concatenate([x1, out_x]), np.concatenate([y1, out_y]),
+            1.0 / geom.dscale, off)
+        return finalize(vals)
 
+    ddx = (x1[:, None] - out_x[None, :]) / geom.dscale + off
+    ddy = (y1[:, None] - out_y[None, :]) / geom.dscale + off
+    g1 = blk2grp1[img1]
     for j_out in range(n_out):
         which = (g1[:, None] * n_out + j_out) * np.ones((1, m), dtype=np.int64)
         vals = interp2d_stack(ovl_stack, jnp.asarray(ddx.ravel()),
