@@ -48,6 +48,22 @@ from .wcsutil import WCS, make_block_wcs
 SOLVE_BUCKET = 128
 
 
+def _device_f64(x):
+    """Upcast on device (used to ship f32 over the host->device link)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda a: a.astype(jnp.float64))(x)
+
+
+def _device_f32(x):
+    """Downcast on device before a device->host transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda a: a.astype(jnp.float32))(x)
+
+
 def trapezoid(arr, fade_kernel, recover_mode=False, pad_widths=(0, 0, 0, 0),
               do_sides="BTLR", use_trunc_sinc=True):
     """
@@ -1062,9 +1078,23 @@ class Block:
             dist[:, :n] = np.hypot(out_y[:, None] - iny[None, :],
                                    out_x[:, None] - inx[None, :])
 
+        import jax
+
+        accel = jax.default_backend() != "cpu"
         if kind == "Empirical" and cfg.no_qlt_ctrl:
             Ai = jnp.eye(n_pad)
             Bi = jnp.zeros((n_out, m, n_pad))
+        elif accel:
+            # the matrix entries carry f32 accuracy (the overlap values are
+            # interpolated in f32 on accelerators), so ship them over the
+            # host->device link in f32 and upcast on device -- the SOLVE
+            # still runs in f64, only the transfer is halved
+            Ap = np.eye(n_pad, dtype=np.float32)
+            Ap[:n, :n] = A
+            Bp = np.zeros((n_out, m, n_pad), dtype=np.float32)
+            Bp[:, :, :n] = mBhalf
+            Ai = _device_f64(jnp.asarray(Ap))
+            Bi = _device_f64(jnp.asarray(Bp))
         else:
             Ap = np.eye(n_pad)
             Ap[:n, :n] = A
@@ -1073,8 +1103,6 @@ class Block:
             Ai = jnp.asarray(Ap)
             Bi = jnp.asarray(Bp)
         Ci = jnp.asarray(C)
-
-        import jax
 
         # Precision policy: full-f64 Cholesky on CPU; on accelerators the
         # f64 factorization does not compile (TPU emulation hangs), so
@@ -1126,8 +1154,12 @@ class Block:
         else:
             raise ValueError(f"unknown LAKERNEL {kind!r}")
 
-        return (np.array(T)[:, :, :n], np.array(kappa), np.array(Sigma),
-                np.array(UC))
+        if accel:
+            # T feeds the f32 coadd accumulation; downcast on device to
+            # halve the device->host transfer
+            T = _device_f32(T)
+        return (np.array(T, dtype=np.float64)[:, :, :n], np.array(kappa),
+                np.array(Sigma), np.array(UC))
 
     def _consume_refs(self, ji_in_s):
         """Release io-overlap references made by one output stamp."""

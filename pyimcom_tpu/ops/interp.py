@@ -28,10 +28,21 @@ All functions are jit-compatible and vmap-able; dtype follows the inputs.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Matmul precision for the dense-sweep contractions.  f32 matmuls on TPU
+# decompose into bf16 passes: HIGHEST = 6 passes (exact f32), HIGH = 3
+# passes (~5e-7 relative error -- 4x the f32 inputs' own quantization, and
+# ~2x faster).  The quality impact must be validated per survey; default
+# stays exact.  Set PYIMCOM_INTERP_PRECISION=high to opt in.
+_SWEEP_PRECISION = (
+    jax.lax.Precision.HIGH
+    if os.environ.get("PYIMCOM_INTERP_PRECISION", "highest").lower() == "high"
+    else jax.lax.Precision.HIGHEST)
 
 # Degree-9 interpolation kernel coefficients (even/odd split), highest power
 # first.  Row k gives weights w[k] and w[9-k]:
@@ -300,7 +311,7 @@ def interp2d_dense(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.n
     # which corrupts the system matrices at the 3e-3 relative level
     G = jnp.einsum("rqn,rnc->rqc", Wy, images,
                    preferred_element_type=images.dtype,
-                   precision=jax.lax.Precision.HIGHEST)   # (R, Nq, nx)
+                   precision=_SWEEP_PRECISION)            # (R, Nq, nx)
     out = jnp.sum(G * Wx, axis=-1)
     return jnp.where(vx & vy, out, 0.0)
 

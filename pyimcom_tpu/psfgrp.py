@@ -314,6 +314,10 @@ def _interp_rects_dense(rects, xt, yt, inv_scale, off_grid):
     groups = defaultdict(list)
     for p in pieces:
         groups[p[7]].append(p)
+    # enqueue every batch first (JAX dispatch is asynchronous), then drain:
+    # the device computes while the host builds the remaining metadata, and
+    # no per-batch round-trip latency is paid
+    pending = []
     for bucket, plist in groups.items():
         rbatch = _DENSE_RBATCH_BY_BUCKET[bucket]
         for i0 in range(0, len(plist), rbatch):
@@ -327,10 +331,12 @@ def _interp_rects_dense(rects, xt, yt, inv_scale, off_grid):
             imgs = jnp.take(combined, jnp.asarray(ks), axis=0)
             # tables stay f64: the fractional phase is extracted in f64
             # on device before the cast to the image dtype
-            vals = np.asarray(fn(imgs, xt_d, yt_d, jnp.asarray(meta),
-                                 inv_scale, off_grid, bucket))
-            for j, (rid, off, _kg, _i1, _i2, _w2, nval, _b) in enumerate(batch):
-                results[rid][off:off + nval] = vals[j, :nval]
+            pending.append((batch, fn(imgs, xt_d, yt_d, jnp.asarray(meta),
+                                      inv_scale, off_grid, bucket)))
+    for batch, dev_vals in pending:
+        vals = np.asarray(dev_vals)
+        for j, (rid, off, _kg, _i1, _i2, _w2, nval, _b) in enumerate(batch):
+            results[rid][off:off + nval] = vals[j, :nval]
     return results
 
 
