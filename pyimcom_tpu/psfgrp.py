@@ -237,7 +237,7 @@ def _use_dense() -> bool:
 # path.  Larger batches amortize dispatch latency (significant over the
 # remote-TPU relay); the W-matrix working set stays under ~200 MB f32.
 _DENSE_BUCKETS = (1024, 4096, 16384)
-_DENSE_RBATCH_BY_BUCKET = {1024: 64, 4096: 32, 16384: 8}
+_DENSE_RBATCH_BY_BUCKET = {1024: 128, 4096: 64, 16384: 32}
 
 
 # coordinate tables are padded to multiples of this so only a handful of
