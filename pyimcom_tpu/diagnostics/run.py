@@ -8,14 +8,16 @@ from __future__ import annotations
 import sys
 
 from .report import ValidationReport
-from .sections import LayerReport, MosaicImage, NoiseReport, SimulatedStar
+from .sections import (DynamicRange, LayerReport, MosaicImage,
+                       NoiseReport, SimulatedStar, StarCube)
 
 
 def run_report(fname, outstem, clear_all: bool = True,
                star_layer: str = "cstar14") -> str:
     """Build the standard validation report; returns the PDF path."""
     rpt = ValidationReport(fname, outstem, clear_all=clear_all)
-    for cls in [MosaicImage, LayerReport, NoiseReport]:
+    for cls in [MosaicImage, LayerReport, NoiseReport, DynamicRange,
+                StarCube]:
         s = cls(rpt)
         s.build()
         rpt.addsections([s])

@@ -154,3 +154,80 @@ class NoiseReport(ReportSection):
         ax.set_title("Coadded noise power spectra")
         self.figures.append(fig)
         self.add_datablock("NOISEPOWER", "\n".join(text_lines))
+
+
+class DynamicRange(ReportSection):
+    """Noise/coverage histograms + star dynamic-range profiles
+    (reference diagnostics/dynrange.py via stars.py)."""
+
+    def build(self):
+        import matplotlib.pyplot as plt
+
+        from .starsdata import gen_dynrange_data
+
+        fname = self.report.fname
+        stem = fname[:-11]
+
+        def infile(ibx, iby):
+            return f"{stem}_{ibx:02d}_{iby:02d}.fits"
+
+        out = gen_dynrange_data(infile, self.report.outstem)
+        if out["COUNTBLOCK"] == 0:
+            return
+        lines = [f"countblock {out['COUNTBLOCK']}"]
+        fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+        for ax, key, label in ((axes[0], "SQRTS", "noise amplification"),
+                               (axes[1], "NEFF", "effective coverage")):
+            if out[key] is None:
+                continue
+            h = np.loadtxt(out[key])
+            ax.bar(h[:, 0], h[:, 1], width=h[1, 0] - h[0, 0])
+            ax.set_xlabel(label)
+            pk, off = out[key + "_HEADER"]
+            lines.append(f"{key} peak {pk:.0f} offscale_pct {off:.4f}")
+        self.figures.append(fig)
+        if out["DYNRANGE"] is not None:
+            prof = np.loadtxt(out["DYNRANGE"])
+            fig2, ax2 = plt.subplots(figsize=(6, 4))
+            for i, q in enumerate((1, 5, 25, 50, 75, 95, 99)):
+                ax2.semilogy(prof[:, 0], np.abs(prof[:, 2 + i]) + 1e-12,
+                             label=f"p{q}")
+            ax2.set_xlabel("radius [px]")
+            ax2.legend(fontsize=6)
+            ax2.set_title("star profile percentiles")
+            self.figures.append(fig2)
+            lines.append("dynrange rows " + str(prof.shape[0]))
+        self.add_datablock("DYNRANGE", "\n".join(lines))
+
+
+class StarCube(ReportSection):
+    """Noiseless injected-star cube moments + fidelity histogram
+    (reference diagnostics/starcube_nonoise.py via stars.py)."""
+
+    def build(self):
+        import matplotlib.pyplot as plt
+
+        from .starsdata import gen_starcube_nonoise
+
+        fname = self.report.fname
+        stem = fname[:-11]
+
+        def infile(ibx, iby):
+            return f"{stem}_{ibx:02d}_{iby:02d}.fits"
+
+        out = gen_starcube_nonoise(infile, self.report.outstem)
+        if out["STARCAT"] is None:
+            return
+        cat = np.loadtxt(out["STARCAT"]).reshape(-1, 22)
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.scatter(cat[:, 14], cat[:, 15], s=4)
+        ax.set_xlabel("g1")
+        ax.set_ylabel("g2")
+        ax.set_title(f"noiseless star shapes (n={len(cat)})")
+        self.figures.append(fig)
+        self.add_datablock(
+            "STARCUBE",
+            f"nstars {len(cat)}\nsigma_med {np.median(cat[:, 13]):.6f}\n"
+            f"g1_med {np.median(cat[:, 14]):.2e}\n"
+            f"g2_med {np.median(cat[:, 15]):.2e}\n"
+            f"fid_med_dB {np.median(cat[:, 20]):.2f}")

@@ -10,6 +10,8 @@ to the SCA frame reuses the framework's interpolation ops.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -109,3 +111,190 @@ def subtract_wings_from_exposure(exposure_image, exposure_wcs, mosaic_image,
         vals = np.asarray(interp2d(jnp.asarray(pad), jnp.asarray(qx),
                                    jnp.asarray(qy)))
     return exposure_image - vals.reshape(ny, nx)
+
+
+# --------------------------------------------------------------------------
+# Blockwise stitched driver: walk the mosaic's blocks, Tukey-window each,
+# resample onto an oversampled SCA canvas, convolve with the Legendre wing
+# kernels, and subtract from the cached input cube
+# (reference imsubtract.py:265-844).
+# --------------------------------------------------------------------------
+
+
+def _interp_scattered(image2d, qx, qy):
+    """D5512 interpolation of one padded host image at scattered points."""
+    import jax.numpy as jnp
+
+    from ..ops.interp import interp2d, interp2d_dense
+    from ..psfgrp import _use_dense, compute_dtype
+
+    if _use_dense():
+        return np.asarray(interp2d_dense(
+            jnp.asarray(image2d, dtype=compute_dtype())[None],
+            jnp.asarray(qx)[None], jnp.asarray(qy)[None]))[0]
+    return np.asarray(interp2d(jnp.asarray(image2d), jnp.asarray(qx),
+                               jnp.asarray(qy)))
+
+
+def build_wing_canvas(exposure_wcs, block_reader, nblock: int, overlap: int,
+                      x_canvas: np.ndarray, layer: int) -> np.ndarray:
+    """
+    Stitch the Tukey-windowed mosaic blocks of one layer onto the exposure's
+    oversampled canvas (reference imsubtract.py:493-686).
+
+    block_reader(ix, iy) -> (data (n_out, nlayer, N, N) or (N, N), WCS) or
+    None if the block does not exist.  Adjacent blocks overlap by
+    2*`overlap` output pixels; the complementary cosine tapers sum to unity
+    there, so the stitched mosaic is seamless.  Each resampled value is
+    multiplied by the exposure pixel solid angle in ideal-output-pixel
+    units (surface-brightness -> flux conversion).
+    """
+    from ..config import Settings as Stn
+    from ..wcsutil import get_pix_area
+
+    A = len(x_canvas)
+    H = np.zeros((A, A))
+    gx, gy = np.meshgrid(x_canvas, x_canvas)   # (A, A); gx varies along x
+    ra, dec = exposure_wcs.pix2world(gx.ravel(), gy.ravel())
+
+    area = get_pix_area(exposure_wcs, gx.ravel(), gy.ravel()) \
+        / Stn.pixscale_native ** 2
+
+    for iy in range(nblock):
+        for ix in range(nblock):
+            got = block_reader(ix, iy)
+            if got is None:
+                continue
+            data, bwcs = got
+            data = np.asarray(data, dtype=np.float64)
+            if data.ndim == 4:
+                data = data[0, layer]
+            N = data.shape[-1]
+            xb, yb = bwcs.world2pix(ra, dec)
+            inside = (xb > -5.5) & (xb < N + 4.5) & (yb > -5.5) & (yb < N + 4.5)
+            if not np.any(inside):
+                continue
+            w = tukey_window_1d(N, 2 * overlap)
+            pad = np.pad(data * w[:, None] * w[None, :], 6)
+            vals = _interp_scattered(pad, xb[inside] + 6, yb[inside] + 6)
+            Hf = H.ravel()
+            Hf[inside] += vals * area[inside]
+    return H
+
+
+def subtract_wings_blockwise(cube, exposure_wcs, K_cube, oversamp: int,
+                             nblock: int, overlap: int, block_reader,
+                             porder: int = None, max_layers: int = None):
+    """
+    Subtract K (*) (stitched mosaic) from every layer of one exposure cube.
+
+    cube : (nlayer, n, n) cached input cube (modified copy returned).
+    K_cube : (npoly, axis, axis) Legendre wing kernels on the `oversamp`
+        grid, index lu + lv*Nl (reference imsubtract.py:523-529,689-708).
+    """
+    cube = np.array(cube, dtype=np.float32)
+    nlayer, sca_nside = cube.shape[0], cube.shape[-1]
+    npoly, axis_num = K_cube.shape[0], K_cube.shape[-1]
+    Nl = porder + 1 if porder is not None and porder >= 0 \
+        else int(np.floor(np.sqrt(npoly + 0.5)))
+
+    I_pad = int(np.ceil(axis_num / 2 / oversamp))
+    first = (oversamp + 2 * oversamp * I_pad - axis_num) // 2
+    A = oversamp * (sca_nside + 2 * I_pad)
+    x_canvas = np.linspace(-I_pad - 0.5 + 0.5 / oversamp,
+                           sca_nside + I_pad - 0.5 - 0.5 / oversamp, A)
+    u_canvas = (x_canvas - (sca_nside - 1) / 2) / (sca_nside / 2)
+    leg = np.polynomial.legendre.Legendre
+    lvals = np.stack([leg.basis(l)(u_canvas) for l in range(Nl)])
+
+    nrun = nlayer if max_layers is None else min(nlayer, max_layers)
+    for n in range(nrun):
+        H = build_wing_canvas(exposure_wcs, block_reader, nblock, overlap,
+                              x_canvas, n)
+        # Legendre-weighted canvases share one convolution sweep
+        arrs = np.stack([H * lvals[lv][:, None] * lvals[lu][None, :]
+                         for lv in range(Nl) for lu in range(Nl)])
+        kerns = np.stack([K_cube[lu + lv * Nl]
+                          for lv in range(Nl) for lu in range(Nl)])
+        KH = np.zeros((A - axis_num + 1, A - axis_num + 1))
+        for a, k in zip(arrs, kerns):
+            KH += fftconvolve_multi(a, k[None])[0]
+        cube[n] -= KH[first::oversamp, first::oversamp][:sca_nside,
+                                                        :sca_nside]
+    return cube
+
+
+def _default_block_reader(outstem: str):
+    """Read coadded block FITS files written by Block.build_output_file."""
+    from ..fitsio import fits_read
+    from ..wcsutil import WCS
+
+    def reader(ix, iy):
+        path = f"{outstem}_{ix:02d}_{iy:02d}.fits"
+        if not os.path.exists(path):
+            return None
+        f = fits_read(path)
+        return np.asarray(f[0].data), WCS.from_header(f[0].header)
+
+    return reader
+
+
+def run_imsubtract(cfg, idsca, split_file: str, out_file: str = None,
+                   oversamp: int = None, max_layers: int = None) -> str:
+    """
+    Wing-subtract one cached exposure and write `*_subI.fits`
+    (reference imsubtract.py:265-729).
+
+    split_file : split-PSF FITS from splitpsf.split_psf_to_fits; the wing
+        kernel for SCA s is HDU[KERSKIP + s].
+    """
+    from ..fitsio import HDUList, ImageHDU, fits_read, fits_write
+    from ..wcsutil import WCS
+
+    obsid, sca = idsca
+    cache = cfg.inlayercache + f"_{obsid:08d}_{sca:02d}.fits"
+    f = fits_read(cache)
+    cube = np.asarray(f[0].data, dtype=np.float32)
+    if cube.ndim == 2:
+        cube = cube[None]
+    wcs_ = WCS.from_header(f[0].header)
+
+    sf = fits_read(split_file)
+    kerskip = int(sf[0].header.get("KERSKIP", (len(sf) - 1) // 2))
+    K_cube = np.asarray(sf[kerskip + sca].data, dtype=np.float64)
+    if oversamp is None:
+        oversamp = int(sf[0].header.get("OVSAMP", 1))
+
+    overlap = cfg.n2 * cfg.postage_pad
+    reader = _default_block_reader(cfg.outstem)
+    out = subtract_wings_blockwise(cube, wcs_, K_cube, oversamp, cfg.nblock,
+                                   overlap, reader, max_layers=max_layers)
+
+    if out_file is None:
+        out_file = cfg.inlayercache + f"_{obsid:08d}_{sca:02d}_subI.fits"
+    hdu = ImageHDU(out.astype(np.float32))
+    hdu.header = f[0].header
+    fits_write(out_file, HDUList([hdu]))
+    return out_file
+
+
+def run_imsubtract_all(cfg, idscas, split_file: str, nworkers: int = None,
+                       **kw) -> list:
+    """
+    Wing-subtract every exposure of a mosaic (reference
+    imsubtract_wrapper.py:12-106).  Work items are independent; with
+    nworkers > 1 they run in a process pool (forkserver, matching the
+    reference), otherwise serially in-process (the TPU path prefers one
+    process per accelerator).
+    """
+    if nworkers and nworkers > 1:
+        import concurrent.futures as cf
+        import multiprocessing as mp
+
+        ctx = mp.get_context("forkserver")
+        with cf.ProcessPoolExecutor(max_workers=nworkers,
+                                    mp_context=ctx) as ex:
+            futs = [ex.submit(run_imsubtract, cfg, idsca, split_file, **kw)
+                    for idsca in idscas]
+            return [fu.result() for fu in futs]
+    return [run_imsubtract(cfg, idsca, split_file, **kw) for idsca in idscas]

@@ -186,3 +186,25 @@ def split_psf_to_fits(psf_file, wcs_list, pars, outfile):
     out[0].header = hdr
     fits_write(outfile, HDUList(out + kerns))
     return outfile
+
+
+def split_all_psfs(jobs, pars, nworkers: int = None) -> list:
+    """
+    Split every observation's PSF file (reference
+    splitpsf_wrapper.py:14-161).
+
+    jobs : list of (psf_file, wcs_list, outfile) work items; independent,
+    so with nworkers > 1 they run in a forkserver process pool (matching
+    the reference's executor), otherwise serially in-process.
+    """
+    if nworkers and nworkers > 1:
+        import concurrent.futures as cf
+        import multiprocessing as mp
+
+        ctx = mp.get_context("forkserver")
+        with cf.ProcessPoolExecutor(max_workers=nworkers,
+                                    mp_context=ctx) as ex:
+            futs = [ex.submit(split_psf_to_fits, pf, wl, pars, of)
+                    for pf, wl, of in jobs]
+            return [fu.result() for fu in futs]
+    return [split_psf_to_fits(pf, wl, pars, of) for pf, wl, of in jobs]

@@ -120,3 +120,33 @@ def test_inweight_tables(block_run):
     assert 0.8 < np.mean(tot) < 1.3
     obs = f["INDATA"]
     assert len(obs["obsid"]) == tw.shape[1]
+
+
+def test_diagnostics_star_data(block_run):
+    """dynrange histograms + noiseless star cube over the coadded block
+    (reference diagnostics/dynrange.py:28, starcube_nonoise.py:28)."""
+    from pyimcom_tpu.diagnostics.starsdata import (
+        gen_dynrange_data,
+        gen_starcube_nonoise,
+    )
+
+    tmp, cfg = block_run
+
+    def infile(ibx, iby):
+        return f"{cfg.outstem}_{ibx:02d}_{iby:02d}.fits"
+
+    out1 = gen_dynrange_data(infile, str(tmp / "diag"), nblockmax=2)
+    assert out1["COUNTBLOCK"] == 1
+    assert out1["SQRTS"] is not None and out1["NEFF"] is not None
+    hist = np.loadtxt(out1["SQRTS"])
+    assert hist.shape == (100, 2) and hist[:, 1].sum() > 0
+    # no nstar layer in this survey -> no dynamic-range table
+    assert out1["DYNRANGE"] is None
+
+    out2 = gen_starcube_nonoise(infile, str(tmp / "diag"), nblockmax=2)
+    assert out2["STARCAT"] is not None and out2["FIDHIST"] is not None
+    cat = np.loadtxt(out2["STARCAT"])
+    cat = cat.reshape(-1, 22)
+    # adaptive sigma of the coadded injected stars ~ target PSF width
+    sig = np.median(cat[:, 13])
+    assert abs(sig - SIG_OUT) < 0.1 * SIG_OUT
