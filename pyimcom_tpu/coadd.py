@@ -121,16 +121,24 @@ class InImage:
         self.exists_, self.infile = check_if_idsca_exists(blk.cfg, blk.obsdata, idsca)
         self.is_relevant = False
         if self.exists_:
-            hdus = fits_read(self.infile)
-            # WCS from whichever HDU carries it (primary or SCI)
-            hdr = None
-            for h in hdus:
-                if "CTYPE1" in h.header:
-                    hdr = h.header
-                    break
-            if hdr is None:
-                raise ValueError(f"no WCS found in {self.infile}")
-            self.inwcs = WCS.from_header(hdr)
+            if self.infile.endswith(".asdf"):
+                # Roman L2 ASDF: evaluable GWCS subset (reference
+                # coadd.py:110-113 wraps the gwcs object the same way)
+                from .asdfio import GWCS, asdf_read
+
+                tree = asdf_read(self.infile)
+                self.inwcs = GWCS(tree["roman"]["meta"]["wcs"])
+            else:
+                hdus = fits_read(self.infile)
+                # WCS from whichever HDU carries it (primary or SCI)
+                hdr = None
+                for h in hdus:
+                    if "CTYPE1" in h.header:
+                        hdr = h.header
+                        break
+                if hdr is None:
+                    raise ValueError(f"no WCS found in {self.infile}")
+                self.inwcs = WCS.from_header(hdr)
         self._psf_cache = {}
 
     # ----- geometry ---------------------------------------------------------

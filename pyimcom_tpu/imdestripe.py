@@ -44,8 +44,28 @@ def bilinear_gather(image: np.ndarray, xf: np.ndarray, yf: np.ndarray,
     Bilinear interpolation of `image` at positions (xf, yf); out-of-bounds
     positions give 0.  With `g_eff`, taps are gain-weighted and normalized.
     Matches the furry-parakeet bilinear_interpolation contract (valid region
-    excludes the last row/column).
+    excludes the last row/column).  On accelerators the gather runs on
+    device (ops.bilinear); the host path is the numpy reference.
     """
+    import jax
+
+    if jax.default_backend() != "cpu":
+        import jax.numpy as jnp
+
+        from .ops.bilinear import (
+            bilinear_gather_device,
+            bilinear_gather_weighted_device,
+        )
+
+        if g_eff is not None:
+            out = bilinear_gather_weighted_device(
+                jnp.asarray(image), jnp.asarray(xf), jnp.asarray(yf),
+                jnp.asarray(g_eff))
+        else:
+            out = bilinear_gather_device(jnp.asarray(image),
+                                         jnp.asarray(xf), jnp.asarray(yf))
+        return np.asarray(out)
+
     ny, nx = image.shape
     x0 = np.floor(xf).astype(np.int64)
     y0 = np.floor(yf).astype(np.int64)
@@ -78,7 +98,20 @@ def bilinear_scatter_adjoint(values: np.ndarray, xf: np.ndarray, yf: np.ndarray,
     """
     Exact adjoint of :func:`bilinear_gather` (without gain weighting):
     scatter each value back onto the source grid with the same weights.
+    On accelerators the scatter runs on device (ops.bilinear).
     """
+    import jax
+
+    if jax.default_backend() != "cpu":
+        import jax.numpy as jnp
+
+        from .ops.bilinear import bilinear_scatter_adjoint_device
+
+        out = bilinear_scatter_adjoint_device(
+            jnp.asarray(values), jnp.asarray(xf), jnp.asarray(yf),
+            tuple(shape))
+        return np.asarray(out)
+
     ny, nx = shape
     x0 = np.floor(xf).astype(np.int64)
     y0 = np.floor(yf).astype(np.int64)

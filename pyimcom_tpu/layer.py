@@ -100,9 +100,12 @@ def read_sci_frame(filename, format_):
         hdus = fits_read(filename)
         return np.asarray(hdus[0].data, dtype=np.float32)
     if format_ == "L2_2506":
-        raise NotImplementedError(
-            "ASDF input (L2_2506) requires the asdf package, which is not "
-            "available in this environment; convert inputs to 'L2_fits'.")
+        # Roman L2 ASDF layout (reference layer.py:1256-1264): the science
+        # array lives at roman/data, already in electrons
+        from .asdfio import asdf_read
+
+        tree = asdf_read(filename)
+        return np.asarray(tree["roman"]["data"], dtype=np.float32)
     raise ValueError(f"unknown input format {format_!r}")
 
 

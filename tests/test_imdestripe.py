@@ -144,3 +144,46 @@ def test_cg_restart(tmp_path):
                                 log=lambda *a: None)
     assert h2[0]["iteration"] >= 3  # resumed, not restarted
     assert prob.cost(p2) <= prob.cost(p1) + 1e-9
+
+
+def test_device_bilinear_matches_numpy():
+    """Device gather/scatter twins (ops.bilinear) match the numpy reference
+    and remain an exact adjoint pair."""
+    import jax.numpy as jnp
+
+    from pyimcom_tpu.imdestripe import bilinear_gather, bilinear_scatter_adjoint
+    from pyimcom_tpu.ops.bilinear import (
+        bilinear_gather_device,
+        bilinear_gather_weighted_device,
+        bilinear_scatter_adjoint_device,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.normal(size=(40, 40))
+    g = rng.uniform(0.5, 2.0, (40, 40))
+    xf = rng.uniform(-3, 42, 500)
+    yf = rng.uniform(-3, 42, 500)
+
+    np.testing.assert_allclose(
+        np.asarray(bilinear_gather_device(jnp.asarray(img), jnp.asarray(xf),
+                                          jnp.asarray(yf))),
+        bilinear_gather(img, xf, yf), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(bilinear_gather_weighted_device(
+            jnp.asarray(img), jnp.asarray(xf), jnp.asarray(yf),
+            jnp.asarray(g))),
+        bilinear_gather(img, xf, yf, g_eff=g), atol=1e-12)
+
+    v = rng.normal(size=500)
+    np.testing.assert_allclose(
+        np.asarray(bilinear_scatter_adjoint_device(
+            jnp.asarray(v), jnp.asarray(xf), jnp.asarray(yf), (40, 40))),
+        bilinear_scatter_adjoint(v, xf, yf, (40, 40)), atol=1e-12)
+
+    # dot-product adjointness on device
+    u = rng.normal(size=(40, 40))
+    lhs = np.sum(np.asarray(bilinear_gather_device(
+        jnp.asarray(u), jnp.asarray(xf), jnp.asarray(yf))) * v)
+    rhs = np.sum(u * np.asarray(bilinear_scatter_adjoint_device(
+        jnp.asarray(v), jnp.asarray(xf), jnp.asarray(yf), (40, 40))))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
