@@ -48,6 +48,62 @@ from .wcsutil import WCS, make_block_wcs
 SOLVE_BUCKET = 128
 
 
+class _SubmatStore:
+    """
+    System-submatrix cache with optional disk spill.
+
+    With a TEMPFILE directory configured, large entries are np.save'd and
+    reloaded on demand instead of held in RAM -- the reference's
+    virtual-memory spill for SysMatA submatrices (psfutil.py:2056-2085).
+    Dict-style access keeps the call sites unchanged.
+    """
+
+    SPILL_BYTES = 1 << 18
+
+    def __init__(self, tempdir=None, tag=""):
+        self.tempdir = tempdir
+        self.tag = tag
+        self.mem = {}
+        self.disk = {}
+        self._ctr = 0
+
+    def __contains__(self, key):
+        return key in self.mem or key in self.disk
+
+    def __setitem__(self, key, arr):
+        if self.tempdir and arr.nbytes > self.SPILL_BYTES:
+            os.makedirs(self.tempdir, exist_ok=True)
+            path = os.path.join(self.tempdir,
+                                f"submat{self.tag}_{os.getpid()}_{self._ctr}.npy")
+            self._ctr += 1
+            np.save(path, arr)
+            self.disk[key] = path
+        else:
+            self.mem[key] = arr
+
+    def __getitem__(self, key):
+        if key in self.mem:
+            return self.mem[key]
+        return np.load(self.disk[key])
+
+    def __delitem__(self, key):
+        if key in self.mem:
+            del self.mem[key]
+        else:
+            path = self.disk.pop(key)
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+    def pop(self, key, default=None):
+        if key in self:
+            val = self[key]
+            del self[key]
+            return val
+        return default
+
+
 def _device_f64(x):
     """Upcast on device (used to ship f32 over the host->device link)."""
     import jax
@@ -833,7 +889,7 @@ class Block:
             self._grp_cache = {}
             self._ovl_cache = {}
             self._io_cache = {}
-            self._submat_cache = {}
+            self._submat_cache = _SubmatStore(cfg.tempfile)
             self._submat_computed = set()
         else:
             n_out = cfg.n_out

@@ -92,6 +92,38 @@ def run_mosaic(cfg, blocks=None, nworkers: int = 1, skip_existing: bool = True):
     return outs
 
 
+def host_blocks(nblock: int, process_index: int = None,
+                process_count: int = None):
+    """
+    Round-robin block share for one host of a multi-host run (the
+    TPU-pod counterpart of the reference's Slurm job-array block
+    assignment, scripts/writejob_example.pl:88-95).  Defaults to this
+    process's rank in the jax.distributed world.
+    """
+    if process_index is None:
+        import jax
+
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    order = block_order(nblock)
+    return order[process_index::max(process_count, 1)]
+
+
+def run_mosaic_multihost(cfg, skip_existing: bool = True):
+    """
+    Multi-host mosaic execution: every host (one process per host, e.g. a
+    TPU pod slice initialized with jax.distributed) coadds its prime-stride
+    round-robin share of blocks on its local accelerators.  Blocks are
+    independent (the padding-stamp halo exchange is a post-pass,
+    analysis.share_padding_stamps), so no collectives cross hosts here.
+    """
+    if not isinstance(cfg, Config):
+        cfg = Config(dict(cfg))
+    blocks = host_blocks(cfg.nblock)
+    return run_mosaic(cfg, blocks=blocks, nworkers=1,
+                      skip_existing=skip_existing)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="pyimcom_tpu mosaic runner")
     ap.add_argument("config", help="JSON configuration file")

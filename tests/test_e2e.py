@@ -150,3 +150,28 @@ def test_diagnostics_star_data(block_run):
     # adaptive sigma of the coadded injected stars ~ target PSF width
     sig = np.median(cat[:, 13])
     assert abs(sig - SIG_OUT) < 0.1 * SIG_OUT
+
+
+def test_submat_store_spill(tmp_path):
+    """Disk-spill submatrix store behaves like a dict and cleans up
+    (reference psfutil.py:2056-2085 TEMPFILE spill)."""
+    from pyimcom_tpu.coadd import _SubmatStore
+
+    st = _SubmatStore(str(tmp_path / "spill"))
+    small = np.ones(4)
+    big = np.arange(st.SPILL_BYTES // 8 + 16, dtype=np.float64)
+    st[("a",)] = small
+    st[("b",)] = big
+    assert ("a",) in st and ("b",) in st
+    np.testing.assert_array_equal(st[("b",)], big)
+    assert len(st.disk) == 1 and len(st.mem) == 1
+    import glob
+    assert len(glob.glob(str(tmp_path / "spill" / "*.npy"))) == 1
+    del st[("b",)]
+    assert ("b",) not in st
+    assert len(glob.glob(str(tmp_path / "spill" / "*.npy"))) == 0
+    assert st.pop(("a",)) is not None and ("a",) not in st
+    # no tempdir -> pure RAM
+    st2 = _SubmatStore(None)
+    st2[("c",)] = big
+    assert len(st2.mem) == 1 and not st2.disk
