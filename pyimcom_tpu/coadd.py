@@ -43,6 +43,7 @@ from .psfgrp import (
     sample_psf_unrotated,
     submatrix_rect_plan,
 )
+from .profiling import phase as _phase, report as _profile_report, sync as _sync
 from .wcsutil import WCS, make_block_wcs
 
 SOLVE_BUCKET = 128
@@ -469,7 +470,8 @@ class Block:
         cfg()
         self.cfg = cfg
         self.geom = PSFGeometry(npixpsf=cfg.npixpsf, oversamp=cfg.inpsf_oversamp,
-                                dtheta=cfg.dtheta, psfsplit=bool(cfg.psfsplit))
+                                dtheta=cfg.dtheta, psfsplit=bool(cfg.psfsplit),
+                                psfinterp=getattr(cfg, "psf_interp", "D5512"))
         self.this_sub = this_sub
         if run_coadd:
             self()
@@ -481,6 +483,7 @@ class Block:
         self.coadd_output_stamps(sim_mode=True)
         self.coadd_output_stamps(sim_mode=False)
         self.build_output_file(is_final=True)
+        _profile_report(f"block {self.this_sub}")
         print(f"finished at t = {self.timer():.2f} s", flush=True)
 
     # ----- configuration and geometry --------------------------------------
@@ -677,12 +680,13 @@ class Block:
         compute_point_pix = [ji_grp[1] * cfg.n2 - 0.5, ji_grp[0] * cfg.n2 - 0.5]
         world = self.outwcs.all_pix2world(np.array([compute_point_pix]), 0)[0]
         psf_arr = np.zeros((n_psf, self.geom.nsamp, self.geom.nsamp))
-        for g, b in enumerate(imgs):
-            inimage = self.inimages[b]
-            this_psf = inimage.get_psf_pos(world, use_shortrange=True)
-            psf_arr[g] = sample_psf_rotated(self.geom, this_psf,
-                                            inimage.outpix2world2inpix,
-                                            compute_point_pix)
+        with _phase("psf.sample_group"):
+            for g, b in enumerate(imgs):
+                inimage = self.inimages[b]
+                this_psf = inimage.get_psf_pos(world, use_shortrange=True)
+                psf_arr[g] = sample_psf_rotated(self.geom, this_psf,
+                                                inimage.outpix2world2inpix,
+                                                compute_point_pix)
         grp = PSFGroup(self.geom, psf_arr, idx_blk2grp=blk2grp, idx_grp2blk=imgs,
                        psf_circ=cfg.psf_circ, psf_norm=cfg.psf_norm,
                        amp_penalty=cfg.amp_penalty)
@@ -831,6 +835,8 @@ class Block:
 
         rects = []
         ii_jobs = []   # (key, swap, okey, finalize, offset, n_rects)
+        _plan_t = _phase("stamp.plan")
+        _plan_t.__enter__()
         for key in keys:
             if key in self._submat_cache or key in self._submat_computed:
                 continue
@@ -862,19 +868,21 @@ class Block:
                 base_sel[idx], base_out, m)
             io_jobs.append((fin, len(rects), len(r)))
             rects += r
+        _plan_t.__exit__(None, None, None)
 
         off_grid = self.geom.nc_ovl + _psfgrp.INTERP_PAD
         vals = _interp_rects_dense(rects, xt, yt, 1.0 / self.geom.dscale,
-                                   off_grid)
+                                   off_grid, self.geom.psfinterp)
 
-        for key, swap, okey, fin, off, nr in ii_jobs:
-            sub = fin(vals[off:off + nr])
-            if swap:
-                sub = sub.T
-            self._submat_cache[key] = sub
-            self._submat_computed.add(key)
-            self._release_ii_overlap(*okey)
-        return [fin(vals[off:off + nr]) for fin, off, nr in io_jobs]
+        with _phase("stamp.finalize"):
+            for key, swap, okey, fin, off, nr in ii_jobs:
+                sub = fin(vals[off:off + nr])
+                if swap:
+                    sub = sub.T
+                self._submat_cache[key] = sub
+                self._submat_computed.add(key)
+                self._release_ii_overlap(*okey)
+            return [fin(vals[off:off + nr]) for fin, off, nr in io_jobs]
 
     # ----- main coaddition loop ---------------------------------------------
 
@@ -1035,6 +1043,8 @@ class Block:
                        if _psfgrp._use_dense() else None)
 
             # ---- A matrix -------------------------------------------------
+            _asm_t = _phase("stamp.assembleA")
+            _asm_t.__enter__()
             A = np.zeros((n, n))
             for idx, ji in enumerate(ji_in_s):
                 sub = self._get_iisubmat(ji, ji)
@@ -1069,14 +1079,16 @@ class Block:
                         self.geom, stack, xs[idx], ys[idx], imgs[idx],
                         grp.idx_blk2grp, out_x, out_y, n_out)
                 mBhalf[:, :, cumsum[idx]:cumsum[idx + 1]] = sub
+            _asm_t.__exit__(None, None, None)
             C = self.outovlc
         else:
             A = mBhalf = None
             C = self.outovlc
 
         # ---- solve -----------------------------------------------------
-        T, kappa, Sigma, UC = self._solve(A, mBhalf, C, inx, iny, out_x, out_y,
-                                          rho_acc, n)
+        with _phase("solve.total"):
+            T, kappa, Sigma, UC = self._solve(A, mBhalf, C, inx, iny, out_x,
+                                              out_y, rho_acc, n)
 
         print("  n input pix =", n, flush=True)
         sq = np.sqrt(np.maximum(UC, 1e-32))
@@ -1096,6 +1108,8 @@ class Block:
             trapezoid(UC, fade_kernel)
 
         # ---- coaddition -------------------------------------------------
+        _coadd_t = _phase("stamp.coadd_host")
+        _coadd_t.__enter__()
         if fade_kernel > 0:
             T_view = np.moveaxis(T, 1, -1).reshape(n_out, n, n2f, n2f)
             trapezoid(T_view, fade_kernel)
@@ -1117,6 +1131,7 @@ class Block:
 
         outimage = np.einsum("oaj,ij->oia", T, indata).reshape(
             n_out, cfg.n_inframe, n2f, n2f).astype(np.float32)
+        _coadd_t.__exit__(None, None, None)
 
         self._accumulate(j_st, i_st, outimage, UC, Sigma, kappa, Tsum_inpix, Neff,
                          Tsum_stamp)
@@ -1153,12 +1168,14 @@ class Block:
             # interpolated in f32 on accelerators), so ship them over the
             # host->device link in f32 and upcast on device -- the SOLVE
             # still runs in f64, only the transfer is halved
-            Ap = np.eye(n_pad, dtype=np.float32)
-            Ap[:n, :n] = A
-            Bp = np.zeros((n_out, m, n_pad), dtype=np.float32)
-            Bp[:, :, :n] = mBhalf
-            Ai = _device_f64(jnp.asarray(Ap))
-            Bi = _device_f64(jnp.asarray(Bp))
+            with _phase("solve.upload"):
+                Ap = np.eye(n_pad, dtype=np.float32)
+                Ap[:n, :n] = A
+                Bp = np.zeros((n_out, m, n_pad), dtype=np.float32)
+                Bp[:, :, :n] = mBhalf
+                Ai = _device_f64(jnp.asarray(Ap))
+                Bi = _device_f64(jnp.asarray(Bp))
+                _sync((Ai, Bi))
         else:
             Ap = np.eye(n_pad)
             Ap[:n, :n] = A
@@ -1200,8 +1217,9 @@ class Block:
                 # monolithic f64 cholesky does not compile on TPU)
                 from .solvers import cholesky_solve_blocked
 
-                T, kappa, Sigma, UC = cholesky_solve_blocked(
-                    Ai, Bi, Ci, kappaC, cfg.uctarget, cfg.sigmamax)
+                with _phase("solve.kernel"):
+                    T, kappa, Sigma, UC = _sync(cholesky_solve_blocked(
+                        Ai, Bi, Ci, kappaC, cfg.uctarget, cfg.sigmamax))
             else:
                 T, kappa, Sigma, UC = KERNELS["Cholesky"](Ai, Bi, Ci, kappaC,
                                                           cfg.uctarget, cfg.sigmamax)
@@ -1222,8 +1240,9 @@ class Block:
             # T feeds the f32 coadd accumulation; downcast on device to
             # halve the device->host transfer
             T = _device_f32(T)
-        return (np.array(T, dtype=np.float64)[:, :, :n], np.array(kappa),
-                np.array(Sigma), np.array(UC))
+        with _phase("solve.download"):
+            return (np.array(T, dtype=np.float64)[:, :, :n], np.array(kappa),
+                    np.array(Sigma), np.array(UC))
 
     def _consume_refs(self, ji_in_s):
         """Release io-overlap references made by one output stamp."""

@@ -1,13 +1,31 @@
 """
-High-accuracy separable 10x10 polynomial interpolation (the D5512 kernel).
+High-accuracy separable polynomial interpolation kernels.
 
 This is the TPU-native counterpart of the furry-parakeet C routines
 ``iD5512C`` / ``iD5512C_sym`` / ``gridD5512C`` (behavior pinned by the pure
-Python mirrors in the reference repo, src/pyimcom/routine.py:29-338).  The
-kernel weights in each direction are a fixed degree-9 polynomial of the
+Python mirrors in the reference repo, src/pyimcom/routine.py:29-338) and of
+the faster 8x8-footprint ``iG4460C`` family (selected via the reference's
+``PSFINTERP: "G4460"`` config key, reference psfutil.py:52-87).  The kernel
+weights in each direction are a fixed odd-degree polynomial of the
 fractional pixel phase, split into even/odd parts; interpolation is the
-separable contraction  out = w_y^T P w_x  over the 10x10 pixel patch around
+separable contraction  out = w_y^T P w_x  over the k x k pixel patch around
 each query point.
+
+Two kernel families are registered:
+
+* ``D5512`` -- 10x10 footprint; the weight coefficients are the exact
+  constants of the reference implementation (routine.py:46-122) and define
+  numerical parity with it.
+* ``G4460`` -- 8x8 footprint, faster.  furry-parakeet's C source for
+  ``iG4460C`` is not available to pin bit-level parity, so this kernel is
+  re-derived from the same design family as D5512: per-phase weights are the
+  L2-optimal interpolator for band-limited signals (solve S w = r with
+  S_jk = sinc(2 u0 (o_j - o_k)), r_k = sinc(2 u0 (fh - o_k)), u0 = 1/8,
+  Tikhonov 1e-12), fit by an even/odd polynomial in the phase.  Measured
+  worst-case tone error: <= 1.1e-6 for u <= 1/12 cycles/sample and
+  <= 3.5e-6 for u <= 1/8 (vs D5512's 1e-8 at u <= 1/12) -- the documented
+  "faster and may be sufficient" contract of the reference
+  (docs/config_README.rst:189).
 
 TPU formulation
 ---------------
@@ -75,46 +93,86 @@ D5512_ODD = np.array([
      +8.993141455798455697e-01, -1.213035309579723942e+00],
 ])
 
+# G4460: 8x8 footprint, L2-optimal band-limited design (u0 = 1/8, Tikhonov
+# 1e-12, degree-9 even/odd polynomial fit; see module docstring).  Same row
+# layout as D5512: row k gives taps w[k] and w[7-k].
+G4460_EVEN = np.array([
+    [-1.945235823911159925e-05, +1.055874006170703754e-03, -8.118995675262492134e-03,
+     +1.453840359289597893e-02, -3.143522062829661335e-03],
+    [+8.999088401166260235e-05, -5.148137838987351493e-03, +6.069481712095783216e-02,
+     -1.235960532055178779e-01, +2.718540716184886588e-02],
+    [-1.540666237308310749e-04, +9.123606051920359755e-03, -1.334507380042637137e-01,
+     +5.336865231190287551e-01, -1.252224819511615628e-01],
+    [+8.351472709485021652e-05, -5.031103870555608815e-03, +8.087359556892606549e-02,
+     -4.246267565082386120e-01, +6.011801467479378491e-01],
+])
+G4460_ODD = np.array([
+    [+7.260754694387638895e-06, -2.904202176384821071e-04, +2.238241587784505285e-03,
+     -4.005111027206044276e-03, +8.423052633873124011e-04],
+    [-4.631632696889089514e-05, +1.991059241797971720e-03, -2.378440273076087505e-02,
+     +4.853753882315355733e-02, -1.053588105750352319e-02],
+    [+1.308916996808606444e-04, -5.896228276277161624e-03, +8.761981577498251239e-02,
+     -3.533315658835169404e-01, +8.255813013281140811e-02],
+    [-2.118650110726590574e-04, +9.766034727710315444e-03, -1.596037936464457796e-01,
+     +8.453409395243187685e-01, -1.200891120242346455e+00],
+])
+
 KERNEL_SIZE = 10
-_LO = 4            # patch starts at xi - 4
+_LO = 4            # D5512 patch starts at xi - 4
 _HI_MARGIN = 5     # valid iff xi <= ngx - 6, i.e. xi < ngx - 5
 
+# registry: kern -> (EVEN, ODD, size, lo, hi_margin); patch spans
+# [xi - lo, xi - lo + size), queries valid iff lo <= xi < ng - hi_margin
+KERNEL_FAMILIES = {
+    "D5512": (D5512_EVEN, D5512_ODD, 10, 4, 5),
+    "G4460": (G4460_EVEN, G4460_ODD, 8, 3, 4),
+}
 
-def d5512_weights(fh: jnp.ndarray) -> jnp.ndarray:
+
+def kernel_weights(fh: jnp.ndarray, kern: str = "D5512") -> jnp.ndarray:
     """
     Interpolation weights for fractional phase `fh` = x - floor(x) - 0.5.
 
     Parameters
     ----------
     fh : array, shape (...,)
+    kern : "D5512" (10 taps) or "G4460" (8 taps); static.
 
     Returns
     -------
-    array, shape (..., 10)
+    array, shape (..., size)
     """
+    even_np, odd_np, _size, _lo, _hi = KERNEL_FAMILIES[kern]
     dtype = jnp.result_type(fh, jnp.float32)
-    even = jnp.asarray(D5512_EVEN, dtype=dtype)
-    odd = jnp.asarray(D5512_ODD, dtype=dtype)
+    even = jnp.asarray(even_np, dtype=dtype)
+    odd = jnp.asarray(odd_np, dtype=dtype)
     fh2 = fh * fh
     # powers [fh2^4, fh2^3, fh2^2, fh2, 1]; the coefficient contractions are
     # matmuls and MUST NOT run at the TPU default (single-pass bf16)
     p = jnp.stack([fh2 ** 4, fh2 ** 3, fh2 ** 2, fh2, jnp.ones_like(fh2)], axis=-1)
-    e = jnp.dot(p, even.T, precision=jax.lax.Precision.HIGHEST)   # (..., 5)
+    e = jnp.dot(p, even.T, precision=jax.lax.Precision.HIGHEST)
     o = jnp.dot(p, odd.T, precision=jax.lax.Precision.HIGHEST) * fh[..., None]
     return jnp.concatenate([e + o, (e - o)[..., ::-1]], axis=-1)
 
 
-def _split_query(x, ng):
+def d5512_weights(fh: jnp.ndarray) -> jnp.ndarray:
+    """D5512 weights (back-compatible alias of :func:`kernel_weights`)."""
+    return kernel_weights(fh, "D5512")
+
+
+def _split_query(x, ng, kern: str = "D5512"):
     """Integer base index, fractional phase, and validity mask for queries."""
+    _e, _o, _size, lo, hi = KERNEL_FAMILIES[kern]
     xi = jnp.floor(x).astype(jnp.int32)
-    valid = (xi >= _LO) & (xi < ng - _HI_MARGIN)
-    xi_safe = jnp.clip(xi, _LO, ng - _HI_MARGIN - 1)
+    valid = (xi >= lo) & (xi < ng - hi)
+    xi_safe = jnp.clip(xi, lo, ng - hi - 1)
     fh = x - xi.astype(x.dtype) - 0.5
     return xi_safe, fh, valid
 
 
-@functools.partial(jax.jit, static_argnames=())
-def interp2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("kern",))
+def interp2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+             kern: str = "D5512") -> jnp.ndarray:
     """
     Interpolate a single 2D image at scattered points.
 
@@ -127,12 +185,13 @@ def interp2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     -------
     (N,) interpolated values; 0 where the 10x10 patch would leave the grid.
     """
+    _e, _o, size, lo, _hi = KERNEL_FAMILIES[kern]
     ny, nx = image.shape
-    xi, fhx, vx = _split_query(x, nx)
-    yi, fhy, vy = _split_query(y, ny)
-    wx = d5512_weights(fhx)  # (N, 10)
-    wy = d5512_weights(fhy)
-    offs = jnp.arange(KERNEL_SIZE, dtype=jnp.int32) - _LO
+    xi, fhx, vx = _split_query(x, nx, kern)
+    yi, fhy, vy = _split_query(y, ny, kern)
+    wx = kernel_weights(fhx, kern)  # (N, size)
+    wy = kernel_weights(fhy, kern)
+    offs = jnp.arange(size, dtype=jnp.int32) - lo
     iy = yi[:, None] + offs[None, :]             # (N, 10)
     ix = xi[:, None] + offs[None, :]             # (N, 10)
     flat = iy[:, :, None] * nx + ix[:, None, :]  # (N, 10, 10)
@@ -141,8 +200,9 @@ def interp2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(vx & vy, out, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def interp2d_multi(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("kern",))
+def interp2d_multi(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                   kern: str = "D5512") -> jnp.ndarray:
     """
     Interpolate a stack of layers at the same scattered points.
 
@@ -157,12 +217,13 @@ def interp2d_multi(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.n
     -------
     (L, N)
     """
+    _e, _o, size, lo, _hi = KERNEL_FAMILIES[kern]
     L, ny, nx = images.shape
-    xi, fhx, vx = _split_query(x, nx)
-    yi, fhy, vy = _split_query(y, ny)
-    wx = d5512_weights(fhx)
-    wy = d5512_weights(fhy)
-    offs = jnp.arange(KERNEL_SIZE, dtype=jnp.int32) - _LO
+    xi, fhx, vx = _split_query(x, nx, kern)
+    yi, fhy, vy = _split_query(y, ny, kern)
+    wx = kernel_weights(fhx, kern)
+    wy = kernel_weights(fhy, kern)
+    offs = jnp.arange(size, dtype=jnp.int32) - lo
     iy = yi[:, None] + offs[None, :]
     ix = xi[:, None] + offs[None, :]
     flat = iy[:, :, None] * nx + ix[:, None, :]  # (N, 10, 10)
@@ -171,9 +232,9 @@ def interp2d_multi(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.n
     return jnp.where((vx & vy)[None, :], out, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("kern",))
 def interp2d_stack(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
-                   which: jnp.ndarray) -> jnp.ndarray:
+                   which: jnp.ndarray, kern: str = "D5512") -> jnp.ndarray:
     """
     Interpolate where each query selects its own source image from a stack.
 
@@ -191,12 +252,13 @@ def interp2d_stack(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     -------
     (N,)
     """
+    _e, _o, size, lo, _hi = KERNEL_FAMILIES[kern]
     K, ny, nx = images.shape
-    xi, fhx, vx = _split_query(x, nx)
-    yi, fhy, vy = _split_query(y, ny)
-    wx = d5512_weights(fhx)
-    wy = d5512_weights(fhy)
-    offs = jnp.arange(KERNEL_SIZE, dtype=jnp.int32) - _LO
+    xi, fhx, vx = _split_query(x, nx, kern)
+    yi, fhy, vy = _split_query(y, ny, kern)
+    wx = kernel_weights(fhx, kern)
+    wy = kernel_weights(fhy, kern)
+    offs = jnp.arange(size, dtype=jnp.int32) - lo
     iy = yi[:, None] + offs[None, :]
     ix = xi[:, None] + offs[None, :]
     flat = (which[:, None, None] * (ny * nx)
@@ -206,8 +268,9 @@ def interp2d_stack(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return jnp.where(vx & vy, out, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def grid_interp(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("kern",))
+def grid_interp(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                kern: str = "D5512") -> jnp.ndarray:
     """
     Separable-grid interpolation: for each input pixel p, evaluate on the
     outer product grid (y[p, :], x[p, :]).
@@ -224,14 +287,15 @@ def grid_interp(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarr
     -------
     (P, nyo, nxo)
     """
+    _e, _o, size, lo, _hi = KERNEL_FAMILIES[kern]
     ny, nx = image.shape
     P, nxo = x.shape
     nyo = y.shape[1]
-    xi, fhx, vx = _split_query(x, nx)           # (P, nxo)
-    yi, fhy, vy = _split_query(y, ny)           # (P, nyo)
-    wx = d5512_weights(fhx) * vx[..., None]     # invalid -> zero weights
-    wy = d5512_weights(fhy) * vy[..., None]
-    offs = jnp.arange(KERNEL_SIZE, dtype=jnp.int32) - _LO
+    xi, fhx, vx = _split_query(x, nx, kern)     # (P, nxo)
+    yi, fhy, vy = _split_query(y, ny, kern)     # (P, nyo)
+    wx = kernel_weights(fhx, kern) * vx[..., None]   # invalid -> zero weights
+    wy = kernel_weights(fhy, kern) * vy[..., None]
+    offs = jnp.arange(size, dtype=jnp.int32) - lo
 
     # stage 1: contract rows.  gather rows (P, nyo, 10, nx) is large; instead
     # gather 10x10 patches on the meshed grid (P, nyo, nxo, 10, 10) would be
@@ -243,9 +307,9 @@ def grid_interp(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarr
     H = jnp.einsum("pyin,pyi->pyn", rows, wy)   # (P, nyo, nx)
     # stage 2: contract columns with per-(p, xo) 10-column bands
     ix = xi[:, :, None] + offs[None, None, :]                      # (P, nxo, 10)
-    idx = jnp.broadcast_to(ix.reshape(P, 1, nxo * KERNEL_SIZE),
-                           (P, nyo, nxo * KERNEL_SIZE))
-    cols = jnp.take_along_axis(H, idx, axis=-1).reshape(P, nyo, nxo, KERNEL_SIZE)
+    idx = jnp.broadcast_to(ix.reshape(P, 1, nxo * size),
+                           (P, nyo, nxo * size))
+    cols = jnp.take_along_axis(H, idx, axis=-1).reshape(P, nyo, nxo, size)
     out = jnp.einsum("pyxj,pxj->pyx", cols, wx)
     return out
 
@@ -263,7 +327,7 @@ def grid_interp(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarr
 # --------------------------------------------------------------------------
 
 
-def _banded_weights(x, ncol: int, dtype=None):
+def _banded_weights(x, ncol: int, dtype=None, kern: str = "D5512"):
     """
     Dense banded D5512 weight matrix.
 
@@ -275,21 +339,23 @@ def _banded_weights(x, ncol: int, dtype=None):
     accuracy), then the weights are built in `dtype` (default: x's dtype).
     Returns (W (..., Nq, ncol), valid (..., Nq)).
     """
+    _e, _o, size, lo, hi = KERNEL_FAMILIES[kern]
     dtype = dtype or x.dtype
     xi = jnp.floor(x).astype(jnp.int32)
-    valid = (xi >= _LO) & (xi < ncol - _HI_MARGIN)
+    valid = (xi >= lo) & (xi < ncol - hi)
     fh = (x - xi.astype(x.dtype) - 0.5).astype(dtype)
-    w10 = d5512_weights(fh)                       # (..., Nq, 10)
+    w10 = kernel_weights(fh, kern)                # (..., Nq, size)
     c = jnp.arange(ncol, dtype=jnp.int32)
-    k = c - xi[..., None] + _LO                   # (..., Nq, ncol) tap index
+    k = c - xi[..., None] + lo                    # (..., Nq, ncol) tap index
     W = jnp.zeros(x.shape + (ncol,), dtype=dtype)
-    for tap in range(KERNEL_SIZE):
+    for tap in range(size):
         W = W + jnp.where(k == tap, w10[..., tap:tap + 1], 0.0)
     return W, valid
 
 
-@functools.partial(jax.jit, static_argnames=())
-def interp2d_dense(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("kern",))
+def interp2d_dense(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                   kern: str = "D5512") -> jnp.ndarray:
     """
     Gather-free interpolation of a batch of images at per-image query sets.
 
@@ -304,8 +370,8 @@ def interp2d_dense(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.n
     as :func:`interp2d`).
     """
     R, ny, nx = images.shape
-    Wy, vy = _banded_weights(y, ny, dtype=images.dtype)   # (R, Nq, ny)
-    Wx, vx = _banded_weights(x, nx, dtype=images.dtype)   # (R, Nq, nx)
+    Wy, vy = _banded_weights(y, ny, dtype=images.dtype, kern=kern)   # (R, Nq, ny)
+    Wx, vx = _banded_weights(x, nx, dtype=images.dtype, kern=kern)   # (R, Nq, nx)
     # row interpolation on the MXU; HIGHEST precision is essential -- the
     # TPU default lowers f32 matmuls to single-pass bf16 (8-bit mantissa),
     # which corrupts the system matrices at the 3e-3 relative level
@@ -316,10 +382,10 @@ def interp2d_dense(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.n
     return jnp.where(vx & vy, out, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("bucket",))
+@functools.partial(jax.jit, static_argnames=("bucket", "kern"))
 def interp2d_dense_pairs(images: jnp.ndarray, xt: jnp.ndarray, yt: jnp.ndarray,
                          meta: jnp.ndarray, inv_scale, off_grid,
-                         bucket: int) -> jnp.ndarray:
+                         bucket: int, kern: str = "D5512") -> jnp.ndarray:
     """
     Gather-free interpolation at implicit outer-difference queries.
 
@@ -349,19 +415,20 @@ def interp2d_dense_pairs(images: jnp.ndarray, xt: jnp.ndarray, yt: jnp.ndarray,
     i2 = jnp.where(valid, i2, 0)
     qx = jnp.where(valid, (xt[i1] - xt[i2]) * inv_scale + off_grid, -100.0)
     qy = jnp.where(valid, (yt[i1] - yt[i2]) * inv_scale + off_grid, -100.0)
-    return interp2d_dense(images, qx, qy)
+    return interp2d_dense(images, qx, qy, kern)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def grid_interp_dense(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("kern",))
+def grid_interp_dense(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                      kern: str = "D5512") -> jnp.ndarray:
     """
     Gather-free separable-grid interpolation (same contract as
     :func:`grid_interp`): image (ny, nx), x (P, nxo), y (P, nyo) ->
     (P, nyo, nxo).
     """
     ny, nx = image.shape
-    Wy, vy = _banded_weights(y, ny, dtype=image.dtype)    # (P, nyo, ny)
-    Wx, vx = _banded_weights(x, nx, dtype=image.dtype)    # (P, nxo, nx)
+    Wy, vy = _banded_weights(y, ny, dtype=image.dtype, kern=kern)    # (P, nyo, ny)
+    Wx, vx = _banded_weights(x, nx, dtype=image.dtype, kern=kern)    # (P, nxo, nx)
     H = jnp.einsum("pyn,nc->pyc", Wy, image,
                    preferred_element_type=image.dtype,
                    precision=jax.lax.Precision.HIGHEST)   # (P, nyo, nx)
@@ -375,28 +442,36 @@ def grid_interp_dense(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp
 # CPU baseline proxy for benchmarking).
 # --------------------------------------------------------------------------
 
-def d5512_weights_np(fh: np.ndarray) -> np.ndarray:
-    """NumPy twin of :func:`d5512_weights`."""
+def kernel_weights_np(fh: np.ndarray, kern: str = "D5512") -> np.ndarray:
+    """NumPy twin of :func:`kernel_weights`."""
+    even, odd, _size, _lo, _hi = KERNEL_FAMILIES[kern]
     fh = np.asarray(fh, dtype=np.float64)
     fh2 = fh * fh
     p = np.stack([fh2 ** 4, fh2 ** 3, fh2 ** 2, fh2, np.ones_like(fh2)], axis=-1)
-    e = p @ D5512_EVEN.T
-    o = (p @ D5512_ODD.T) * fh[..., None]
+    e = p @ even.T
+    o = (p @ odd.T) * fh[..., None]
     return np.concatenate([e + o, (e - o)[..., ::-1]], axis=-1)
 
 
-def interp2d_np(image: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+def d5512_weights_np(fh: np.ndarray) -> np.ndarray:
+    """NumPy twin of :func:`d5512_weights`."""
+    return kernel_weights_np(fh, "D5512")
+
+
+def interp2d_np(image: np.ndarray, x: np.ndarray, y: np.ndarray,
+                kern: str = "D5512") -> np.ndarray:
     """NumPy twin of :func:`interp2d` (vectorized gather + einsum)."""
+    _e, _o, size, lo, hi = KERNEL_FAMILIES[kern]
     image = np.asarray(image, dtype=np.float64)
     ny, nx = image.shape
     xi = np.floor(x).astype(np.int64)
     yi = np.floor(y).astype(np.int64)
-    valid = (xi >= _LO) & (xi < nx - _HI_MARGIN) & (yi >= _LO) & (yi < ny - _HI_MARGIN)
-    xi_s = np.clip(xi, _LO, nx - _HI_MARGIN - 1)
-    yi_s = np.clip(yi, _LO, ny - _HI_MARGIN - 1)
-    wx = d5512_weights_np(x - xi - 0.5)
-    wy = d5512_weights_np(y - yi - 0.5)
-    offs = np.arange(KERNEL_SIZE) - _LO
+    valid = (xi >= lo) & (xi < nx - hi) & (yi >= lo) & (yi < ny - hi)
+    xi_s = np.clip(xi, lo, nx - hi - 1)
+    yi_s = np.clip(yi, lo, ny - hi - 1)
+    wx = kernel_weights_np(x - xi - 0.5, kern)
+    wy = kernel_weights_np(y - yi - 0.5, kern)
+    offs = np.arange(size) - lo
     patch = image[(yi_s[:, None, None] + offs[None, :, None]),
                   (xi_s[:, None, None] + offs[None, None, :])]
     out = np.einsum("nij,ni,nj->n", patch, wy, wx)

@@ -28,6 +28,7 @@ import numpy as np
 from .config import Settings as Stn
 from .ops import psfmodels
 from .ops.fourier import apply_amp_penalty, overlap_from_rft, pad_and_rfft2
+from .profiling import phase as _phase, sync as _sync
 
 INTERP_PAD = 6  # guard pixels for the 10x10 interpolation kernel
 
@@ -50,7 +51,16 @@ class PSFGeometry:
     """Static geometry of PSF sampling and overlap arrays for one run."""
 
     def __init__(self, npixpsf: int = 48, oversamp: int = 8,
-                 dtheta: float = 0.025 / 3600, psfsplit: bool = False):
+                 dtheta: float = 0.025 / 3600, psfsplit: bool = False,
+                 psfinterp: str = "D5512"):
+        from .ops.interp import KERNEL_FAMILIES
+
+        if psfinterp not in KERNEL_FAMILIES:
+            raise ValueError(f"unknown PSFINTERP {psfinterp!r}; "
+                             f"choose from {sorted(KERNEL_FAMILIES)}")
+        # interpolation kernel family (reference PSFInterpolator selector,
+        # psfutil.py:52-87, driven by the PSFINTERP config key)
+        self.psfinterp = psfinterp
         self.npixpsf = npixpsf
         self.oversamp = oversamp
         self.nsamp = npixpsf * oversamp - 1
@@ -157,9 +167,11 @@ def sample_psf_rotated(geom: PSFGeometry, psf: np.ndarray,
 
         dt = compute_dtype()
         out = interp2d_dense(jnp.asarray(psf_pad, dtype=dt)[None],
-                             jnp.asarray(qx)[None], jnp.asarray(qy)[None])[0]
+                             jnp.asarray(qx)[None], jnp.asarray(qy)[None],
+                             geom.psfinterp)[0]
     else:
-        out = interp2d(jnp.asarray(psf_pad), jnp.asarray(qx), jnp.asarray(qy))
+        out = interp2d(jnp.asarray(psf_pad), jnp.asarray(qx), jnp.asarray(qy),
+                       geom.psfinterp)
     return np.asarray(out).reshape(geom.nsamp, geom.nsamp)
 
 
@@ -180,7 +192,7 @@ def sample_psf_unrotated(geom: PSFGeometry, psfs: np.ndarray) -> np.ndarray:
     dt = compute_dtype()
     for i in range(n_psf):
         res = fn(jnp.asarray(np.pad(psfs[i], INTERP_PAD), dtype=dt),
-                 jnp.asarray(x), jnp.asarray(y))
+                 jnp.asarray(x), jnp.asarray(y), geom.psfinterp)
         out[i] = np.asarray(res)[0]
     return out
 
@@ -198,14 +210,16 @@ def build_overlap_stack(geom: PSFGeometry, grp1: PSFGroup, grp2: PSFGroup | None
     g2 = grp2 if grp2 is not None else grp1
     if isinstance(grp1.psf_rft, np.ndarray):
         # host f64 path (accelerators; see PSFGroup.__init__)
-        nc = geom.nc_ovl
-        prod = grp1.psf_rft[:, None] * np.conj(g2.psf_rft[None, :])
-        corr = np.fft.irfft2(prod, s=(geom.nfft, geom.nfft))
-        corr = np.roll(corr, (nc, nc), axis=(-2, -1))[..., :geom.novl, :geom.novl]
-        n1, n2 = corr.shape[:2]
-        padded = np.pad(corr.reshape(n1 * n2, geom.novl, geom.novl),
-                        ((0, 0), (INTERP_PAD, INTERP_PAD), (INTERP_PAD, INTERP_PAD)))
-        return jnp.asarray(padded, dtype=compute_dtype())
+        with _phase("psf.overlap_fft_host"):
+            nc = geom.nc_ovl
+            prod = grp1.psf_rft[:, None] * np.conj(g2.psf_rft[None, :])
+            corr = np.fft.irfft2(prod, s=(geom.nfft, geom.nfft))
+            corr = np.roll(corr, (nc, nc), axis=(-2, -1))[..., :geom.novl, :geom.novl]
+            n1, n2 = corr.shape[:2]
+            padded = np.pad(corr.reshape(n1 * n2, geom.novl, geom.novl),
+                            ((0, 0), (INTERP_PAD, INTERP_PAD), (INTERP_PAD, INTERP_PAD)))
+        with _phase("psf.overlap_upload"):
+            return _sync(jnp.asarray(padded, dtype=compute_dtype()))
 
     rft1 = grp1.psf_rft[:, None]       # (n1, 1, ...)
     rft2 = g2.psf_rft[None, :]         # (1, n2, ...)
@@ -245,7 +259,8 @@ _DENSE_RBATCH_BY_BUCKET = {1024: 128, 4096: 64, 16384: 32}
 _TABLE_PAD = 2048
 
 
-def _interp_rects_dense(rects, xt, yt, inv_scale, off_grid):
+def _interp_rects_dense(rects, xt, yt, inv_scale, off_grid,
+                        kern: str = "D5512"):
     """
     Evaluate outer-difference query rectangles against per-rectangle overlap
     images using the gather-free dense kernel, batched and bucket-padded so
@@ -310,7 +325,9 @@ def _interp_rects_dense(rects, xt, yt, inv_scale, off_grid):
 
     from .ops.interp_pallas import interp2d_dense_pairs_pallas, pallas_enabled
 
-    fn = interp2d_dense_pairs_pallas if pallas_enabled() else interp2d_dense_pairs
+    # the Pallas kernel is D5512-only; other families use the XLA path
+    use_pallas = pallas_enabled() and kern == "D5512"
+    fn = interp2d_dense_pairs_pallas if use_pallas else interp2d_dense_pairs
     groups = defaultdict(list)
     for p in pieces:
         groups[p[7]].append(p)
@@ -318,25 +335,28 @@ def _interp_rects_dense(rects, xt, yt, inv_scale, off_grid):
     # the device computes while the host builds the remaining metadata, and
     # no per-batch round-trip latency is paid
     pending = []
-    for bucket, plist in groups.items():
-        rbatch = _DENSE_RBATCH_BY_BUCKET[bucket]
-        for i0 in range(0, len(plist), rbatch):
-            batch = plist[i0:i0 + rbatch]
-            meta = np.zeros((rbatch, 5), dtype=np.int32)
-            meta[:, 2] = 1  # width placeholder for padded rows (n_valid=0)
-            ks = np.zeros(rbatch, dtype=np.int32)
-            for j, (rid, off, kg, i1s, i2s, w2, nval, _b) in enumerate(batch):
-                meta[j] = (i1s, i2s, w2, off, nval)
-                ks[j] = kg
-            imgs = jnp.take(combined, jnp.asarray(ks), axis=0)
-            # tables stay f64: the fractional phase is extracted in f64
-            # on device before the cast to the image dtype
-            pending.append((batch, fn(imgs, xt_d, yt_d, jnp.asarray(meta),
-                                      inv_scale, off_grid, bucket)))
-    for batch, dev_vals in pending:
-        vals = np.asarray(dev_vals)
-        for j, (rid, off, _kg, _i1, _i2, _w2, nval, _b) in enumerate(batch):
-            results[rid][off:off + nval] = vals[j, :nval]
+    with _phase("sweep.enqueue"):
+        for bucket, plist in groups.items():
+            rbatch = _DENSE_RBATCH_BY_BUCKET[bucket]
+            for i0 in range(0, len(plist), rbatch):
+                batch = plist[i0:i0 + rbatch]
+                meta = np.zeros((rbatch, 5), dtype=np.int32)
+                meta[:, 2] = 1  # width placeholder for padded rows (n_valid=0)
+                ks = np.zeros(rbatch, dtype=np.int32)
+                for j, (rid, off, kg, i1s, i2s, w2, nval, _b) in enumerate(batch):
+                    meta[j] = (i1s, i2s, w2, off, nval)
+                    ks[j] = kg
+                imgs = jnp.take(combined, jnp.asarray(ks), axis=0)
+                # tables stay f64: the fractional phase is extracted in f64
+                # on device before the cast to the image dtype
+                args = () if use_pallas else (kern,)
+                pending.append((batch, fn(imgs, xt_d, yt_d, jnp.asarray(meta),
+                                          inv_scale, off_grid, bucket, *args)))
+    with _phase("sweep.drain"):
+        for batch, dev_vals in pending:
+            vals = np.asarray(dev_vals)
+            for j, (rid, off, _kg, _i1, _i2, _w2, nval, _b) in enumerate(batch):
+                results[rid][off:off + nval] = vals[j, :nval]
     return results
 
 
@@ -417,7 +437,7 @@ def interp_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, x2, y2, img2,
             flat_penalty, n_in_eff, 0, n1)
         vals = _interp_rects_dense(
             rects, np.concatenate([x1, x2]), np.concatenate([y1, y2]),
-            1.0 / geom.dscale, off)
+            1.0 / geom.dscale, off, geom.psfinterp)
         return finalize(vals)
     else:
         ddx = (x1[:, None] - x2[None, :]) / geom.dscale + off
@@ -426,7 +446,8 @@ def interp_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, x2, y2, img2,
         g2 = blk2grp2[img2]
         which = (g1[:, None] * n_psf2 + g2[None, :]).astype(np.int32)
         vals = interp2d_stack(ovl_stack, jnp.asarray(ddx.ravel()),
-                              jnp.asarray(ddy.ravel()), jnp.asarray(which.ravel()))
+                              jnp.asarray(ddy.ravel()), jnp.asarray(which.ravel()),
+                              geom.psfinterp)
         res = np.asarray(vals).reshape(n1, n2)
 
         if flat_penalty != 0.0:
@@ -487,7 +508,7 @@ def interp_io_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, blk2grp1,
             geom, ovl_stack, img1, blk2grp1, n_out, 0, n1, m)
         vals = _interp_rects_dense(
             rects, np.concatenate([x1, out_x]), np.concatenate([y1, out_y]),
-            1.0 / geom.dscale, off)
+            1.0 / geom.dscale, off, geom.psfinterp)
         return finalize(vals)
 
     ddx = (x1[:, None] - out_x[None, :]) / geom.dscale + off
@@ -497,6 +518,7 @@ def interp_io_submatrix(geom: PSFGeometry, ovl_stack, x1, y1, img1, blk2grp1,
         which = (g1[:, None] * n_out + j_out) * np.ones((1, m), dtype=np.int64)
         vals = interp2d_stack(ovl_stack, jnp.asarray(ddx.ravel()),
                               jnp.asarray(ddy.ravel()),
-                              jnp.asarray(which.ravel().astype(np.int32)))
+                              jnp.asarray(which.ravel().astype(np.int32)),
+                              geom.psfinterp)
         res[j_out] = np.asarray(vals).reshape(n1, m).T
     return res

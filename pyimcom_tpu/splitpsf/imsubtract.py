@@ -102,14 +102,16 @@ def subtract_wings_from_exposure(exposure_image, exposure_wcs, mosaic_image,
     # positions within the valid-convolution frame
     qx = gx - off_x + 6
     qy = gy - off_y + 6
+    # wing subtraction uses the faster G4460 family, matching the
+    # reference's unconditional iG4460C resample (imsubtract.py:652)
     pad = np.pad(conv, 6)
     if _use_dense():
         vals = np.asarray(interp2d_dense(jnp.asarray(pad)[None],
                                          jnp.asarray(qx)[None],
-                                         jnp.asarray(qy)[None]))[0]
+                                         jnp.asarray(qy)[None], "G4460"))[0]
     else:
         vals = np.asarray(interp2d(jnp.asarray(pad), jnp.asarray(qx),
-                                   jnp.asarray(qy)))
+                                   jnp.asarray(qy), "G4460"))
     return exposure_image - vals.reshape(ny, nx)
 
 
@@ -121,8 +123,12 @@ def subtract_wings_from_exposure(exposure_image, exposure_wcs, mosaic_image,
 # --------------------------------------------------------------------------
 
 
-def _interp_scattered(image2d, qx, qy):
-    """D5512 interpolation of one padded host image at scattered points."""
+def _interp_scattered(image2d, qx, qy, kern="G4460"):
+    """Interpolate one padded host image at scattered points.
+
+    The wing-subtraction resample defaults to the faster 8x8 G4460 kernel,
+    matching the reference's unconditional iG4460C call (imsubtract.py:652).
+    """
     import jax.numpy as jnp
 
     from ..ops.interp import interp2d, interp2d_dense
@@ -131,9 +137,9 @@ def _interp_scattered(image2d, qx, qy):
     if _use_dense():
         return np.asarray(interp2d_dense(
             jnp.asarray(image2d, dtype=compute_dtype())[None],
-            jnp.asarray(qx)[None], jnp.asarray(qy)[None]))[0]
+            jnp.asarray(qx)[None], jnp.asarray(qy)[None], kern))[0]
     return np.asarray(interp2d(jnp.asarray(image2d), jnp.asarray(qx),
-                               jnp.asarray(qy)))
+                               jnp.asarray(qy), kern))
 
 
 def build_wing_canvas(exposure_wcs, block_reader, nblock: int, overlap: int,

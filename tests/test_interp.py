@@ -133,3 +133,94 @@ def test_dtype_follows_input(dtype):
     out = interp2d(jnp.asarray(image), jnp.asarray([10.0], dtype=dtype),
                    jnp.asarray([10.0], dtype=dtype))
     assert out.dtype == dtype
+
+
+# ---------------------------------------------------------------------------
+# G4460 kernel family (8x8 footprint; reference psfutil.py:52-87 selector,
+# config key PSFINTERP -- docs/config_README.rst:189)
+# ---------------------------------------------------------------------------
+
+
+def test_g4460_weights_sum_and_symmetry():
+    from pyimcom_tpu.ops.interp import kernel_weights, kernel_weights_np
+
+    fh = np.linspace(-0.5, 0.5, 41)
+    w = kernel_weights_np(fh, "G4460")
+    assert w.shape == (41, 8)
+    # partition of unity to the design tolerance
+    np.testing.assert_allclose(w.sum(axis=-1), 1.0, rtol=0, atol=5e-6)
+    # mirror symmetry w(fh) == w(-fh)[::-1]
+    np.testing.assert_allclose(w, kernel_weights_np(-fh, "G4460")[:, ::-1],
+                               rtol=0, atol=1e-14)
+    # jax twin agrees
+    np.testing.assert_allclose(np.asarray(kernel_weights(jnp.asarray(fh), "G4460")),
+                               w, rtol=0, atol=1e-14)
+
+
+def test_g4460_bandlimited_accuracy():
+    """Tone error <= 3.5e-6 for u <= 1/8 cycles/sample (design contract)."""
+    from pyimcom_tpu.ops.interp import interp2d, interp2d_np
+
+    rng = np.random.default_rng(7)
+    ny = nx = 64
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    x = rng.uniform(10, 50, 400)
+    y = rng.uniform(10, 50, 400)
+    for (u, v) in [(1 / 14, 1 / 16), (1 / 12, 0.0), (0.088, 0.088 / 2)]:
+        image = np.cos(2 * np.pi * (u * xx + v * yy) + 0.37)
+        want = np.cos(2 * np.pi * (u * x + v * y) + 0.37)
+        got = np.asarray(interp2d(jnp.asarray(image), jnp.asarray(x),
+                                  jnp.asarray(y), "G4460"))
+        assert np.abs(got - want).max() < 3.5e-6
+        np.testing.assert_allclose(interp2d_np(image, x, y, "G4460"), got,
+                                   rtol=0, atol=1e-12)
+
+
+def test_g4460_dense_matches_gather_path():
+    from pyimcom_tpu.ops.interp import interp2d, interp2d_dense
+
+    rng = np.random.default_rng(3)
+    image = rng.standard_normal((40, 44))
+    x = rng.uniform(0, 44, 300)   # includes off-grid queries
+    y = rng.uniform(0, 40, 300)
+    a = np.asarray(interp2d(jnp.asarray(image), jnp.asarray(x), jnp.asarray(y),
+                            "G4460"))
+    b = np.asarray(interp2d_dense(jnp.asarray(image)[None], jnp.asarray(x)[None],
+                                  jnp.asarray(y)[None], "G4460"))[0]
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_g4460_grid_interp_matches_pointwise():
+    from pyimcom_tpu.ops.interp import grid_interp, interp2d_np
+
+    rng = np.random.default_rng(5)
+    image = rng.standard_normal((32, 32))
+    P, nyo, nxo = 3, 4, 5
+    x = rng.uniform(8, 24, (P, nxo))
+    y = rng.uniform(8, 24, (P, nyo))
+    got = np.asarray(grid_interp(jnp.asarray(image), jnp.asarray(x),
+                                 jnp.asarray(y), "G4460"))
+    for p in range(P):
+        xm, ym = np.meshgrid(x[p], y[p])
+        want = interp2d_np(image, xm.ravel(), ym.ravel(), "G4460").reshape(nyo, nxo)
+        np.testing.assert_allclose(got[p], want, rtol=0, atol=1e-12)
+
+
+def test_psfinterp_config_selects_kernel():
+    """PSFINTERP flows Config -> Block geometry -> sweep kernel."""
+    from pyimcom_tpu.psfgrp import PSFGeometry
+
+    geom = PSFGeometry(npixpsf=8, oversamp=4, dtheta=0.04 / 3600,
+                       psfinterp="G4460")
+    assert geom.psfinterp == "G4460"
+    with pytest.raises(ValueError):
+        PSFGeometry(npixpsf=8, oversamp=4, psfinterp="NOPE")
+
+    from pyimcom_tpu.config import Config
+
+    d = {"OBSFILE": "obs.fits", "INDATA": ["/tmp", "L2_fits"], "FILTER": 1,
+         "INPSF": ["/tmp", "L2_fits", 8], "CTR": [60.0, -3.8], "BLOCK": 2,
+         "OUTSIZE": [4, 25, 0.04], "OUT": "/tmp/x", "PSFINTERP": "G4460"}
+    cfg = Config(d)
+    assert cfg.psf_interp == "G4460"
+    assert Config(cfg.to_dict()).psf_interp == "G4460"
