@@ -96,9 +96,11 @@ def main():
     if args.cpu_only:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    # keep the compile cache inside the repo so it survives across rounds
+    cache_root = pathlib.Path(__file__).parent
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/jax_cache" if jax.default_backend() == "cpu"
-                      else "/tmp/jax_cache_tpu")
+                      str(cache_root / (".jax_cache" if jax.default_backend()
+                                        == "cpu" else ".jax_cache_tpu")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     sys.path.insert(0, str(pathlib.Path(__file__).parent / "tests"))

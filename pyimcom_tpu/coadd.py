@@ -317,7 +317,8 @@ class InImage:
         if inpsf_format in ["anlsim", "L2_2506", "L2_fits"]:
             return f"psf_polyfit_{obsid:d}.fits"
         if inpsf_format[:4].lower() == "piff":
-            s = inpsf_format[5:] if inpsf_format[4] == ":" else "ffov"
+            s = (inpsf_format[5:] if len(inpsf_format) > 4
+                 and inpsf_format[4] == ":" else "ffov")
             return f"{s}_{obsid:d}.piff"
         raise ValueError(f"unknown PSF format {inpsf_format!r}")
 
@@ -336,6 +337,23 @@ class InImage:
         use_drawpsf = use_drawpsf and (cfg.inpsfdraw_format is not None)
         iformat = cfg.inpsfdraw_format if use_drawpsf else cfg.inpsf_format
         ipath = cfg.inpsfdraw_path if use_drawpsf else cfg.inpsf_path
+
+        if (iformat[:4].lower() == "piff"
+                and not (use_shortrange and cfg.psfsplit)):
+            # Piff solution drawn at the chip position (reference
+            # coadd.py:643-648; stamp_size=48, flux per sample, pixel
+            # response already included by the Piff fit -- no tophat smear)
+            key = (iformat, "piffmodel")
+            if key not in self._psf_cache:
+                from .utils.piffutils import PiffPSFModel
+
+                fname = ipath + "/" + InImage.psf_filename(iformat, self.idsca[0])
+                if not exists(fname):
+                    raise FileNotFoundError(f"input PSF file missing: {fname}")
+                self._psf_cache[key] = PiffPSFModel(fname, self.idsca[1])
+            return self._psf_cache[key].draw(float(pixloc[0]), float(pixloc[1]),
+                                             stamp_size=48,
+                                             oversamp=cfg.inpsf_oversamp)
 
         key = (iformat, use_shortrange)
         if key not in self._psf_cache:
@@ -376,6 +394,9 @@ class InImage:
         if iformat == "dc2_imsim":
             one = self.get_psf_pos(points[0], use_drawpsf=use_drawpsf)
             return np.broadcast_to(one, (len(points),) + one.shape)
+        if iformat[:4].lower() == "piff":
+            return np.stack([self.get_psf_pos(p, use_drawpsf=use_drawpsf)
+                             for p in points])
 
         # trigger the cube load through the scalar path
         self.get_psf_pos(points[0], use_drawpsf=use_drawpsf)
@@ -716,6 +737,7 @@ class Block:
         self._ovl_ref[key] -= 1
         if self._ovl_ref[key] <= 0:
             self._ovl_cache.pop(key, None)
+            self._ovl_reps.pop(key, None)
             self._release_group(gp1)
             if gp2 != gp1:
                 self._release_group(gp2)
@@ -732,6 +754,7 @@ class Block:
         self._io_ref[gp] -= 1
         if self._io_ref[gp] <= 0:
             self._io_cache.pop(gp, None)
+            self._io_reps.pop(gp, None)
             self._release_group(gp)
 
     def _drop_iisubmat_ref(self, ji1, ji2):
@@ -742,6 +765,8 @@ class Block:
         if self._submat_ref[key] <= 0:
             if key in self._submat_cache:
                 del self._submat_cache[key]
+            elif key in self._dev_submat:
+                del self._dev_submat[key]
             elif key not in self._submat_computed:
                 # the computation the sim pass budgeted never happens;
                 # release its overlap-stack reference
@@ -884,6 +909,429 @@ class Block:
                 self._release_ii_overlap(*okey)
             return [fin(vals[off:off + nr]) for fin, off, nr in io_jobs]
 
+    # ----- device-resident group engine --------------------------------------
+
+    def _device_path_enabled(self):
+        """
+        Whether the device-resident group path runs (accelerators, Cholesky).
+
+        The host path downloads every sweep value and re-uploads the
+        assembled A (~40 MB/stamp); the device path keeps everything in HBM
+        (ops/assemble.py).  Env override PYIMCOM_DEVICE_ASSEMBLY=0 forces the
+        host path, =1 forces the device path (used to exercise it on CPU in
+        tests).
+        """
+        env = os.environ.get("PYIMCOM_DEVICE_ASSEMBLY", "auto")
+        if env == "0":
+            return False
+        if self.cfg.linear_algebra not in ("Cholesky", "Iterative"):
+            return False
+        if self.cfg.linear_algebra == "Iterative" and self.cfg.no_qlt_ctrl:
+            return False
+        if env == "1":
+            return True
+        return _psfgrp._use_dense()
+
+    def _fade_vec(self):
+        """(m,) trapezoid fade factors over the output stamp grid."""
+        n2f = self.cfg.n2f
+        ones = np.ones((n2f, n2f))
+        trapezoid(ones, self.cfg.fade_kernel)
+        return ones.ravel()
+
+    def _solver_name(self):
+        import jax
+
+        if self.cfg.linear_algebra == "Iterative":
+            return "iterative"
+        prec = getattr(self.cfg, "solver_prec", "auto")
+        if prec == "mixed":
+            return "mixed"
+        if jax.default_backend() != "cpu":
+            return "blocked"   # monolithic f64 cholesky does not compile on TPU
+        return "monolithic"
+
+    CHUNK = 16384       # scatter chunk length (static bucket)
+    CHUNK_ROWS = 32     # metadata rows per scatter call
+
+    def _dev_replica(self, cache_dict, key, arr, device):
+        """Per-device replica of a cached device array (cross-device reuse).
+
+        Replicas live alongside the cache entry and are dropped with it, so
+        eviction frees them too."""
+        import jax
+
+        if device is None:
+            return arr
+        reps = cache_dict.setdefault(key, {})
+        if device not in reps:
+            reps[device] = jax.device_put(arr, device)
+        return reps[device]
+
+    def _stamp_devices(self):
+        """Devices over which postage-stamp groups are scattered."""
+        import jax
+
+        devs = list(jax.local_devices())
+        env = os.environ.get("PYIMCOM_NDEVICES")
+        if env:
+            devs = devs[:max(1, int(env))]
+        return devs
+
+    def _coadd_group_device(self, group, device=None):
+        """
+        Coadd up to four output stamps of one 2x2 PSF group with the fully
+        device-resident pipeline:
+
+        1. ONE fused interpolation sweep computes every fresh system
+           submatrix (full-stamp pixels, shared across output stamps exactly
+           as the reference SysMatA cache, psfutil.py:1764-2085) and all
+           io rectangles -- values never return to the host;
+        2. sweep batches scatter into a per-group submatrix pool
+           (ops/assemble.scatter_pool) and the per-stamp -B/2 tensors
+           (scatter_B);
+        3. per stamp, pooled submatrices (this group's and cached earlier
+           groups') scatter-add into the padded A with selection maps
+           (pool_to_A/_sym);
+        4. per stamp, solve + trapezoid fade + coaddition run on device
+           (solve_finalize) and only KB-scale maps download.
+
+        All dispatches are asynchronous; the host never blocks until the
+        final small downloads, so the four solves pipeline behind the sweep.
+
+        With `device` set, every buffer and computation of this group is
+        placed on that device: the block loop enqueues one group per local
+        device per round, so groups execute concurrently across the chips
+        (stamp-level data parallelism; SURVEY.md section 2.2's TPU mapping).
+        Returns the per-stamp result records; the caller drains them with
+        `_drain_group_results` after the round.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from .ops import assemble
+
+        def put(x):
+            x = np.asarray(x)
+            return (jax.device_put(x, device) if device is not None
+                    else jnp.asarray(x))
+
+        cfg = self.cfg
+        geom = self.geom
+        n_out, n2f, n2 = cfg.n_out, cfg.n2f, cfg.n2
+        m = n2f * n2f
+        dt = _psfgrp.compute_dtype()
+        kern = geom.psfinterp
+        CH, CR = self.CHUNK, self.CHUNK_ROWS
+
+        infos = []
+        for (j_st, i_st) in group:
+            print(f"postage stamp {i_st:2d},{j_st:2d}  t= {self.timer():9.2f} s",
+                  flush=True)
+            info = self._stamp_inputs(j_st, i_st)
+            if info["n"] == 0:
+                self._zero_stamp(j_st, i_st, info["ji_in_s"])
+            else:
+                infos.append((j_st, i_st, info))
+        if not infos:
+            return
+
+        n_pad = max(SOLVE_BUCKET, int(np.ceil(
+            max(i[2]["n"] for i in infos) / SOLVE_BUCKET) * SOLVE_BUCKET))
+
+        # ---- coordinate tables: union full-stamp arrays + per-stamp
+        #      selected arrays + per-stamp output grids ----------------------
+        _plan = _phase("stamp.plan")
+        _plan.__enter__()
+        parts_x, parts_y = [], []
+        cur = 0
+        base_full = {}
+        for _j, _i, info in infos:
+            for ji in info["ji_in_s"]:
+                if ji not in base_full:
+                    st = self.instamps[ji]
+                    base_full[ji] = cur
+                    parts_x.append(st.x_val)
+                    parts_y.append(st.y_val)
+                    cur += st.n_pix
+        base_sel, base_out = [], []
+        for _j, _i, info in infos:
+            bs = []
+            for idx in range(9):
+                bs.append(cur)
+                parts_x.append(info["xs"][idx])
+                parts_y.append(info["ys"][idx])
+                cur += len(info["xs"][idx])
+            base_sel.append(bs)
+            base_out.append(cur)
+            parts_x.append(info["out_x"])
+            parts_y.append(info["out_y"])
+            cur += len(info["out_x"])
+        xt = np.concatenate(parts_x)
+        yt = np.concatenate(parts_y)
+
+        # ---- fresh-submatrix plan over the union of stamp neighborhoods ----
+        keys_union = []
+        seen = set()
+        for _j, _i, info in infos:
+            ji_in_s = info["ji_in_s"]
+            ks = [(ji, ji) for ji in ji_in_s]
+            ks += [(a, b) if a <= b else (b, a)
+                   for a, b in combinations(ji_in_s, 2)]
+            for k in ks:
+                if k not in seen:
+                    seen.add(k)
+                    keys_union.append(k)
+
+        rects = []       # sweep rects
+        rect_dst = []    # aligned destinations: ("P", dst_base0, n2sub) or
+                         # ("B", s_idx, dst_base, col0)
+        pool_size = 0
+        fp_meta = []     # flat-penalty constant rects: (meta5, const)
+        fresh = {}       # key -> (base, n1sub, n2sub, ji_row, ji_col, okey)
+        for key in keys_union:
+            if key in self._dev_submat or key in self._submat_computed:
+                continue
+            ji1, ji2 = key
+            gp1, gp2 = group_of(ji1), group_of(ji2)
+            swap = gp1 > gp2
+            okey = (gp1, gp2) if not swap else (gp2, gp1)
+            stack, grpa, grpb = self._get_ii_overlap(*okey)
+            stack = self._dev_replica(self._ovl_reps, okey, stack, device)
+            if gp1 == gp2:
+                n_in_eff = grpa.n_psf
+            else:
+                n_in_eff = np.sqrt(grpa.n_psf * grpb.n_psf)
+            jA, jB = (ji2, ji1) if swap else (ji1, ji2)   # stack order
+            st1, st2 = self.instamps[jA], self.instamps[jB]
+            n1s, n2s = st1.n_pix, st2.n_pix
+            base = pool_size
+            pool_size += n1s * n2s
+            fresh[key] = (base, n1s, n2s, jA, jB, okey)
+            fp = cfg.flat_penalty
+            for im1, s1, e1 in _psfgrp._image_runs(st1.img_idx):
+                for im2, s2, e2 in _psfgrp._image_runs(st2.img_idx):
+                    k = int(grpa.idx_blk2grp[im1]) * grpb.n_psf \
+                        + int(grpb.idx_blk2grp[im2])
+                    rects.append((stack, k, base_full[jA] + s1, e1 - s1,
+                                  base_full[jB] + s2, e2 - s2))
+                    dst_base0 = base + s1 * n2s + s2
+                    rect_dst.append(("P", dst_base0, n2s))
+                    if fp != 0.0:
+                        const = -fp / n_in_eff + fp * (im1 == im2)
+                        nq = (e1 - s1) * (e2 - s2)
+                        for off in range(0, nq, CH):
+                            fp_meta.append(((dst_base0, e2 - s2, n2s, off,
+                                             min(CH, nq - off)), const))
+
+        # ---- io rectangles (selected pixels x output grid), per stamp ------
+        for s_idx, (_j, _i, info) in enumerate(infos):
+            for idx, ji in enumerate(info["ji_in_s"]):
+                if info["counts"][idx] == 0:
+                    continue
+                gp_io = group_of(ji)
+                stack, grp = self._get_io_overlap(gp_io)
+                stack = self._dev_replica(self._io_reps, gp_io, stack, device)
+                col_base = int(info["cumsum"][idx])
+                for im1, s1, e1 in _psfgrp._image_runs(info["imgs"][idx]):
+                    for j_out in range(n_out):
+                        k = int(grp.idx_blk2grp[im1]) * n_out + j_out
+                        rects.append((stack, k, base_sel[s_idx][idx] + s1,
+                                      e1 - s1, base_out[s_idx], m))
+                        rect_dst.append(("B", s_idx, j_out * m * n_pad,
+                                         col_base + s1))
+        _plan.__exit__(None, None, None)
+
+        # ---- ONE sweep; scatter values into pool / B tensors ----------------
+        off_grid = geom.nc_ovl + _psfgrp.INTERP_PAD
+        pending = _psfgrp._interp_rects_enqueue(rects, xt, yt,
+                                                1.0 / geom.dscale, off_grid,
+                                                kern, device=device)
+        with _phase("stamp.scatter"):
+            pool_holder = {"arr": assemble.zeros_on(max(pool_size, 1), dt, device),
+                           "device": device, "reps": {}}
+            B_holders = [[assemble.zeros_on(n_out * m * n_pad, dt, device)]
+                         for _ in infos]
+            for batch, dev_vals in pending:
+                R = dev_vals.shape[0]
+                bucket = dev_vals.shape[1]
+                meta_pool = np.zeros((R, 5), dtype=np.int32)
+                metas_B = {}
+                any_pool = False
+                for j, (rid, off, _kg, _i1, _i2, w2, nval, _b) in enumerate(batch):
+                    dst = rect_dst[rid]
+                    if dst[0] == "P":
+                        meta_pool[j] = (dst[1], w2, dst[2], off, nval)
+                        any_pool = True
+                    else:
+                        _tag, s_idx, dst_base, col0 = dst
+                        mb = metas_B.setdefault(
+                            s_idx, np.zeros((R, 4), dtype=np.int32))
+                        mb[j] = (dst_base, col0, off, nval)
+                if any_pool:
+                    pool_holder["arr"] = assemble.scatter_pool(
+                        pool_holder["arr"], dev_vals, put(meta_pool), bucket)
+                for s_idx, mb in metas_B.items():
+                    B_holders[s_idx][0] = assemble.scatter_B(
+                        B_holders[s_idx][0], dev_vals, put(mb),
+                        bucket, n_pad, m)
+            # flat-field penalty constants over the fresh submatrices
+            for i0 in range(0, len(fp_meta), CR):
+                chunk = fp_meta[i0:i0 + CR]
+                meta = np.zeros((CR, 5), dtype=np.int32)
+                consts = np.zeros(CR, dtype=np.float64)
+                for j, (mrow, c) in enumerate(chunk):
+                    meta[j] = mrow
+                    consts[j] = c
+                pool_holder["arr"] = assemble.scatter_pool_constant(
+                    pool_holder["arr"], put(consts.astype(dt)),
+                    put(meta), self.CHUNK)
+
+        # register fresh submatrices; release their overlap-stack references
+        for key, (base, n1s, n2s, jA, jB, okey) in fresh.items():
+            self._dev_submat[key] = dict(holder=pool_holder, base=base,
+                                         n1=n1s, n2=n2s, ji_row=jA, ji_col=jB)
+            self._submat_computed.add(key)
+            self._release_ii_overlap(*okey)
+
+        # ---- per-stamp A assembly + solve + coadd (all async) --------------
+        results = []
+        fade = put(np.asarray(self._fade_vec(), dtype=np.dtype(dt)))
+        dummy_rel = put(np.zeros((1, 1), dtype=bool))
+        solver = self._solver_name()
+        exact_UC = len(cfg.kappaC_arr) > 1
+        kappaC = put(np.asarray(cfg.kappaC_arr, dtype=np.float64))
+        C = put(np.asarray(self.outovlc, dtype=np.float64))
+        with _phase("stamp.assembleA"):
+            for s_idx, (j_st, i_st, info) in enumerate(infos):
+                ji_in_s = info["ji_in_s"]
+                counts, cumsum = info["counts"], info["cumsum"]
+                # selection map: per neighbor instamp, local pixel -> A slot
+                sel_off = {}
+                sel_parts = []
+                sc = 0
+                for idx, ji in enumerate(ji_in_s):
+                    st = self.instamps[ji]
+                    local = np.full(st.n_pix, -1, dtype=np.int32)
+                    sel = info["sels"][idx]
+                    if sel is None:
+                        local[:] = cumsum[idx] + np.arange(counts[idx])
+                    else:
+                        local[sel] = cumsum[idx] + np.arange(len(sel))
+                    sel_off[ji] = sc
+                    sel_parts.append(local)
+                    sc += st.n_pix
+                selmap = put(np.concatenate(sel_parts))
+
+                # identity diagonal on PADDED slots only (padding convention:
+                # pad A with 1 on the diagonal; real entries come from the
+                # scatters)
+                diag = (np.arange(n_pad) >= info["n"]).astype(np.dtype(dt))
+                A_holder = [assemble.init_A(put(diag), n_pad)]
+                # group scatter rows by (source pool, symmetric?) per call
+                calls = {}
+                for ji in ji_in_s:
+                    key = (ji, ji)
+                    rec = self._dev_submat[key]
+                    self._enqueue_submat_rows(calls, rec, sel_off, False, device)
+                    self._drop_dev_ref(key)
+                for ja, jb in combinations(ji_in_s, 2):
+                    key = (ja, jb) if ja <= jb else (jb, ja)
+                    rec = self._dev_submat[key]
+                    self._enqueue_submat_rows(calls, rec, sel_off, True, device)
+                    self._drop_dev_ref(key)
+                for (hid, sym), (holder, rows) in calls.items():
+                    fn = assemble.pool_to_A_sym if sym else assemble.pool_to_A
+                    for i0 in range(0, len(rows), CR):
+                        chunk = rows[i0:i0 + CR]
+                        meta = np.zeros((CR, 6), dtype=np.int32)
+                        for j, r in enumerate(chunk):
+                            meta[j] = r
+                        A_holder[0] = fn(A_holder[0], holder["arr"],
+                                         put(meta), selmap, CH, n_pad)
+
+                # per-stamp data, image one-hot
+                n = info["n"]
+                data = np.zeros((cfg.n_inframe, n_pad), dtype=np.float32)
+                data[:, :n] = np.concatenate(info["datas"], axis=1)
+                inimg = np.concatenate(info["imgs"]) if n else np.zeros(0, np.int32)
+                onehot = np.zeros((n_pad, self.n_inimage), dtype=np.float32)
+                onehot[np.arange(n), inimg] = 1.0
+
+                if solver == "iterative":
+                    # acceptance-radius mask from the stamp coordinates
+                    # (reference lakernel.py:614-620); padded slots sit at
+                    # the 1e6 sentinel and never pass
+                    ix = np.full(n_pad, 1e6)
+                    iy = np.full(n_pad, 1e6)
+                    ix[:n] = np.concatenate(info["xs"])
+                    iy[:n] = np.concatenate(info["ys"])
+                    rel = assemble.relevance_mask(
+                        put(info["out_x"]), put(info["out_y"]),
+                        put(ix), put(iy), info["rho_acc"])
+                else:
+                    rel = dummy_rel
+                out = assemble.solve_finalize(
+                    A_holder[0].reshape(n_pad, n_pad),
+                    B_holders[s_idx][0].reshape(n_out, m, n_pad),
+                    C, kappaC, put(data), put(onehot), fade,
+                    rel, cfg.uctarget, cfg.sigmamax, cfg.iter_rtol,
+                    n2 * n2, solver, exact_UC, cfg.iter_max)
+                results.append((j_st, i_st, info, out))
+        return results
+
+    def _drain_group_results(self, results):
+        """Download the per-stamp device outputs and accumulate them."""
+        cfg = self.cfg
+        n_out, n2f = cfg.n_out, cfg.n2f
+        # ---- drain: small per-stamp downloads + host accumulation ----------
+        with _phase("solve.download"):
+            for j_st, i_st, info, out in results:
+                host = {k: np.asarray(v) for k, v in out.items()}
+                UC = host["UC"].reshape(n_out, n2f, n2f)
+                Sigma = host["Sigma"].reshape(n_out, n2f, n2f)
+                kappa = host["kappa"].reshape(n_out, n2f, n2f)
+                sq = np.sqrt(np.maximum(host["UC"], 1e-32))
+                ss = np.sqrt(np.maximum(host["Sigma"], 1e-32))
+                print("  n input pix =", info["n"], flush=True)
+                print(f"  sqUC,sqSig medians | {np.median(sq):8.2E} "
+                      f"{np.median(ss):8.2E}", flush=True)
+                self._accumulate(
+                    j_st, i_st,
+                    host["outimage"].reshape(n_out, cfg.n_inframe, n2f, n2f),
+                    UC, Sigma, kappa,
+                    host["Tsum_inpix"].reshape(n_out, n2f, n2f),
+                    host["Neff"].reshape(n_out, n2f, n2f),
+                    host["Tsum_stamp"])
+                self._consume_refs(info["ji_in_s"])
+
+    def _enqueue_submat_rows(self, calls, rec, sel_off, sym, device=None):
+        """Append pool_to_A metadata rows for one submatrix use."""
+        import jax
+
+        n1s, n2s = rec["n1"], rec["n2"]
+        m1 = sel_off[rec["ji_row"]]
+        m2 = sel_off[rec["ji_col"]]
+        holder = rec["holder"]
+        if device is not None and holder["device"] is not device:
+            # cross-device reuse: replicate the (final) pool once per device
+            if device not in holder["reps"]:
+                holder["reps"][device] = {"arr": jax.device_put(holder["arr"],
+                                                                device),
+                                          "device": device, "reps": None}
+            holder = holder["reps"][device]
+        entry = calls.setdefault((id(holder), sym), (holder, []))
+        total = n1s * n2s
+        for off in range(0, total, self.CHUNK):
+            entry[1].append((rec["base"] + off, n2s, m1, m2,
+                             min(self.CHUNK, total - off), off))
+
+    def _drop_dev_ref(self, key):
+        """Consume one reference to a device-pooled submatrix."""
+        self._submat_ref[key] -= 1
+        if self._submat_ref[key] <= 0:
+            self._dev_submat.pop(key, None)
+
     # ----- main coaddition loop ---------------------------------------------
 
     def coadd_output_stamps(self, sim_mode=False):
@@ -898,6 +1346,9 @@ class Block:
             self._ovl_cache = {}
             self._io_cache = {}
             self._submat_cache = _SubmatStore(cfg.tempfile)
+            self._dev_submat = {}
+            self._ovl_reps = {}
+            self._io_reps = {}
             self._submat_computed = set()
         else:
             n_out = cfg.n_out
@@ -913,14 +1364,42 @@ class Block:
             self.Tsum_map = np.zeros(shape, dtype=np.float32) if "T" in outmaps else None
             self.Neff_map = np.zeros(shape, dtype=np.float32) if "N" in outmaps else None
 
+        use_device = (not sim_mode) and self._device_path_enabled()
+        devices = self._stamp_devices() if use_device else [None]
+        n_dev = max(1, len(devices))
+        round_ = []   # [(group, device), ...] -- one group per device per round
         n_coadded = 0
+        done = False
         for j_st in range(self.j_st_min, self.j_st_max + 1, 2):
+            if done:
+                break
             for i_st in range(self.i_st_min, self.i_st_max + 1, 2):
+                group = []
                 for dj, di in product(range(2), range(2)):
-                    self._output_stamp(j_st + dj, i_st + di, sim_mode)
+                    group.append((j_st + dj, i_st + di))
                     n_coadded += 1
                     if n_coadded == self.nrun:
-                        return
+                        break
+                if use_device:
+                    dev = devices[len(round_) % n_dev] if n_dev > 1 else None
+                    round_.append((group, dev))
+                    if len(round_) == n_dev or n_coadded == self.nrun:
+                        records = []
+                        for g, d in round_:
+                            records += self._coadd_group_device(g, d) or []
+                        self._drain_group_results(records)
+                        round_ = []
+                else:
+                    for (j, i) in group:
+                        self._output_stamp(j, i, sim_mode)
+                if n_coadded == self.nrun:
+                    done = True
+                    break
+        if round_:
+            records = []
+            for g, d in round_:
+                records += self._coadd_group_device(g, d) or []
+            self._drain_group_results(records)
 
     def _sim_count(self, ji_in_s, ji_out):
         """Simulation pass: count every cache reference this stamp will make."""
@@ -958,18 +1437,12 @@ class Block:
             if first:
                 self._grp_ref[gp] = self._grp_ref.get(gp, 0) + 1
 
-    def _output_stamp(self, j_st, i_st, sim_mode=False):
+    def _stamp_inputs(self, j_st, i_st):
+        """Pixel selection and output-grid geometry of one output stamp."""
         cfg = self.cfg
         ji_in_s = [(j_st + dj, i_st + di) for dj in range(-1, 2) for di in range(-1, 2)]
-
-        if sim_mode:
-            self._sim_count(ji_in_s, (j_st, i_st))
-            return
-
-        print(f"postage stamp {i_st:2d},{j_st:2d}  t= {self.timer():9.2f} s", flush=True)
         fade_kernel = cfg.fade_kernel
         n2 = cfg.n2
-        n2f = cfg.n2f
         bottom = (j_st - 1) * n2
         top = bottom + n2 - 1
         left = (i_st - 1) * n2
@@ -997,40 +1470,65 @@ class Block:
         counts = np.array([len(x) for x in xs])
         cumsum = np.concatenate([[0], np.cumsum(counts)])
         n = int(cumsum[-1])
-        inx = np.concatenate(xs) if n else np.zeros(0)
-        iny = np.concatenate(ys) if n else np.zeros(0)
-        inimg = np.concatenate(imgs) if n else np.zeros(0, dtype=np.int32)
-        indata = np.concatenate(datas, axis=1) if n else np.zeros((cfg.n_inframe, 0),
-                                                                  dtype=np.float32)
 
         # output grid positions (with fade transition ring)
         oy, ox = np.mgrid[bottom - fade_kernel:top + fade_kernel + 1,
                           left - fade_kernel:right + fade_kernel + 1]
-        out_x = ox.ravel().astype(np.float64)
-        out_y = oy.ravel().astype(np.float64)
+        return dict(ji_in_s=ji_in_s, sels=sels, xs=xs, ys=ys, imgs=imgs,
+                    datas=datas, counts=counts, cumsum=cumsum, n=n,
+                    rho_acc=rho_acc,
+                    out_x=ox.ravel().astype(np.float64),
+                    out_y=oy.ravel().astype(np.float64))
+
+    def _zero_stamp(self, j_st, i_st, ji_in_s):
+        """Stamp with no input pixels: U=C, Sigma=0, kappa=1 (reference
+        lakernel.py:109-119); releases every sim-pass reference."""
+        cfg = self.cfg
+        n_out, n2f = cfg.n_out, cfg.n2f
+        self._accumulate(j_st, i_st, np.zeros((n_out, cfg.n_inframe, n2f, n2f),
+                                              dtype=np.float32),
+                         np.ones((n_out, n2f, n2f), np.float32),
+                         np.zeros((n_out, n2f, n2f), np.float32),
+                         np.ones((n_out, n2f, n2f), np.float32),
+                         np.zeros((n_out, n2f, n2f), np.float32),
+                         np.ones((n_out, n2f, n2f), np.float32),
+                         np.zeros((n_out, self.n_inimage), np.float32))
+        if not (cfg.linear_algebra == "Empirical" and cfg.no_qlt_ctrl):
+            for ji in ji_in_s:
+                self._drop_iisubmat_ref(ji, ji)
+            for ji1, ji2 in combinations(ji_in_s, 2):
+                if ji1 <= ji2:
+                    self._drop_iisubmat_ref(ji1, ji2)
+                else:
+                    self._drop_iisubmat_ref(ji2, ji1)
+        self._consume_refs(ji_in_s)
+
+    def _output_stamp(self, j_st, i_st, sim_mode=False):
+        cfg = self.cfg
+        ji_in_s = [(j_st + dj, i_st + di) for dj in range(-1, 2) for di in range(-1, 2)]
+
+        if sim_mode:
+            self._sim_count(ji_in_s, (j_st, i_st))
+            return
+
+        print(f"postage stamp {i_st:2d},{j_st:2d}  t= {self.timer():9.2f} s", flush=True)
+        info = self._stamp_inputs(j_st, i_st)
+        sels, xs, ys, imgs = info["sels"], info["xs"], info["ys"], info["imgs"]
+        cumsum, n = info["cumsum"], info["n"]
+        out_x, out_y, rho_acc = info["out_x"], info["out_y"], info["rho_acc"]
+        fade_kernel = cfg.fade_kernel
+        n2 = cfg.n2
+        n2f = cfg.n2f
+        inx = np.concatenate(xs) if n else np.zeros(0)
+        iny = np.concatenate(ys) if n else np.zeros(0)
+        inimg = np.concatenate(imgs) if n else np.zeros(0, dtype=np.int32)
+        indata = (np.concatenate(info["datas"], axis=1) if n
+                  else np.zeros((cfg.n_inframe, 0), dtype=np.float32))
         m = n2f * n2f
         n_out = cfg.n_out
 
         if n == 0:
-            # no input pixels: U=C, Sigma=0, kappa=1 (reference lakernel.py:109-119)
-            self._accumulate(j_st, i_st, np.zeros((n_out, cfg.n_inframe, n2f, n2f),
-                                                  dtype=np.float32),
-                             np.ones((n_out, n2f, n2f), np.float32),
-                             np.zeros((n_out, n2f, n2f), np.float32),
-                             np.ones((n_out, n2f, n2f), np.float32),
-                             np.zeros((n_out, n2f, n2f), np.float32),
-                             np.ones((n_out, n2f, n2f), np.float32),
-                             np.zeros((n_out, self.n_inimage), np.float32))
-            # release every reference the sim pass counted for this stamp
-            if not (cfg.linear_algebra == "Empirical" and cfg.no_qlt_ctrl):
-                for ji in ji_in_s:
-                    self._drop_iisubmat_ref(ji, ji)
-                for ji1, ji2 in combinations(ji_in_s, 2):
-                    if ji1 <= ji2:
-                        self._drop_iisubmat_ref(ji1, ji2)
-                    else:
-                        self._drop_iisubmat_ref(ji2, ji1)
-            self._consume_refs(ji_in_s)
+            self._zero_stamp(j_st, i_st, ji_in_s)
             return
 
         no_qlt = cfg.linear_algebra == "Empirical" and cfg.no_qlt_ctrl
@@ -1193,16 +1691,14 @@ class Block:
         use_mixed = prec == "mixed"
 
         if kind == "Eigen":
-            # f64 eigh does not compile on the TPU backend (QDWH emulation
-            # hangs); pin the eigendecomposition path to the host CPU device.
-
             if jax.default_backend() != "cpu":
-                cpu = jax.local_devices(backend="cpu")[0]
-                with jax.default_device(cpu):
-                    T, kappa, Sigma, UC = KERNELS["Eigen"](
-                        jnp.asarray(np.asarray(Ai)), jnp.asarray(np.asarray(Bi)),
-                        jnp.asarray(np.asarray(Ci)), jnp.asarray(np.asarray(kappaC)),
-                        cfg.uctarget, cfg.sigmamax)
+                # f64 eigh does not compile on the TPU backend (QDWH
+                # emulation hangs); run the device emulation of the eigen
+                # contract (dense kappa grid + blocked Cholesky).
+                from .solvers import eigen_solve_device
+
+                T, kappa, Sigma, UC = eigen_solve_device(
+                    Ai, Bi, Ci, kappaC, cfg.uctarget, cfg.sigmamax)
             else:
                 T, kappa, Sigma, UC = KERNELS["Eigen"](Ai, Bi, Ci, kappaC,
                                                        cfg.uctarget, cfg.sigmamax)
@@ -1349,6 +1845,25 @@ class Block:
                          header=Header(self.outwcs.to_header()), name="EFFCOVER")
             h.header["UNIT"] = "20uB"
             hdus.append(h)
+
+        if cfg.psfsplit:
+            # iteration count + previous-iteration configs (reference OLDCFG
+            # HDU, coadd.py:2308-2325)
+            text = ""
+            it = 0
+            iterfile = cfg.inlayercache + "_iter.txt"
+            oldcfgfile = cfg.inlayercache + "_oldcfg.json"
+            if exists(iterfile):
+                with open(iterfile) as f:
+                    it = int(f.read().split()[0])
+            if exists(oldcfgfile):
+                with open(oldcfgfile) as f:
+                    text = f.read()
+            prev = TableHDU(data={"text": np.array(text.split() or [""])},
+                            name="OLDCFG", ascii_table=True)
+            prev.columns = [("text", "A512")]
+            prev.header["IMSBITER"] = it
+            hdus.append(prev)
 
         fits_write(self.outstem + ".fits", hdus)
         print("wrote", self.outstem + ".fits", flush=True)

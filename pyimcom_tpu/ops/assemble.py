@@ -1,0 +1,268 @@
+"""
+Device-resident system-matrix assembly kernels.
+
+The host-assembly path (coadd.Block._output_stamp) downloads every sweep
+value, assembles A and -B/2 in numpy, and re-uploads ~40 MB per output
+stamp.  On TPU both transfers dominate the stamp time (measured: ~3.7 s
+sweep drain + ~1.9 s solve upload per stamp over the host link, vs ~0.1 ms
+for the scatters below).  These kernels keep the interpolated overlap
+values on device end to end:
+
+1. :func:`scatter_pool` -- sweep batch values -> a per-group "pool" buffer
+   holding the freshly computed system submatrices (row-major, at planned
+   base offsets).  The pool is the device twin of the reference's
+   ref-counted SysMatA submatrix cache (reference psfutil.py:1764-2085).
+2. :func:`pool_to_A` -- gather a submatrix region from a pool and
+   scatter-add it into an output stamp's padded A matrix, applying the
+   per-pixel selection through `selmap` (the device twin of the
+   `sub[np.ix_(sel, sel)]` block placement, reference coadd.py:1028-1069)
+   and the flat-field penalty addend (reference psfutil.py:1483-1486).
+3. :func:`scatter_B` -- io-sweep values -> the (n_out, m, n_pad) -B/2
+   tensor (reference coadd.py:1075-1082).
+4. :func:`solve_finalize` -- f64 solve + trapezoid fade + coaddition +
+   per-image weight sums, all on device; only the (tiny) per-stamp output
+   maps return to the host (reference OutStamp._perform_coaddition,
+   coadd.py:1294-1363).
+
+All kernels take int32 metadata rows shaped (R, k); padded rows carry
+nval = 0.  Out-of-selection targets are dropped via scatter mode="drop".
+Index arithmetic happens on device so the host uploads only KB-scale
+metadata.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.iinfo(jnp.int32).max
+
+
+@functools.partial(jax.jit, static_argnames=("bucket",), donate_argnums=(0,))
+def scatter_pool(pool, vals, meta, bucket: int):
+    """
+    Scatter sweep batch values into the submatrix pool.
+
+    pool : (P,) flat buffer (donated).
+    vals : (R, bucket) sweep values.
+    meta : (R, 5) int32 rows [dst_base0, w2, n2, off, nval] where
+        dst_base0 = base + s1*n2 + s2 locates the rect's (0, 0) entry in the
+        row-major (n1, n2) submatrix block at `base`; value j of the row
+        lands at dst_base0 + ((off+j)//w2)*n2 + (off+j)%w2.  (The flat-field
+        penalty addend is applied separately via
+        :func:`scatter_pool_constant` when FLATPEN != 0.)
+    """
+    j = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+    f = meta[:, 3:4] + j
+    w2 = jnp.maximum(meta[:, 1:2], 1)
+    dst = meta[:, 0:1] + (f // w2) * meta[:, 2:3] + f % w2
+    valid = j < meta[:, 4:5]
+    dst = jnp.where(valid, dst, _BIG)
+    return pool.at[dst.ravel()].add(vals.ravel(), mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("bucket",), donate_argnums=(0,))
+def scatter_pool_constant(pool, consts, meta, bucket: int):
+    """Add a per-rect constant over rect regions of the pool (flat-field
+    penalty terms: -FLATPEN/n_in_eff + FLATPEN on same-image rects;
+    reference psfutil.py:1483-1486, 1704-1708).
+
+    consts : (R,) addend per metadata row; meta as in :func:`scatter_pool`.
+    """
+    j = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+    f = meta[:, 3:4] + j
+    w2 = jnp.maximum(meta[:, 1:2], 1)
+    dst = meta[:, 0:1] + (f // w2) * meta[:, 2:3] + f % w2
+    valid = j < meta[:, 4:5]
+    dst = jnp.where(valid, dst, _BIG)
+    vals = jnp.broadcast_to(consts[:, None], dst.shape)
+    return pool.at[dst.ravel()].add(vals.ravel(), mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("bucket", "n_pad"),
+                   donate_argnums=(0,))
+def pool_to_A(A, pool, meta, selmap, bucket: int, n_pad: int):
+    """
+    Gather a submatrix chunk from `pool` and scatter-add into A.
+
+    A : (n_pad*n_pad,) flat stamp system matrix (donated).
+    pool : (P,) source pool (this group's, or a cached earlier group's).
+    meta : (R, 6) int32 rows [src_off, w2, m1_off, m2_off, nval, flat_off]
+        for one contiguous chunk of a row-major (n1, w2) submatrix block:
+        value j reads pool[src_off + j] and corresponds to submatrix flat
+        position f = flat_off + j, i.e. row f // w2 and column f % w2;
+        it lands at A[selmap[m1_off + f//w2], selmap[m2_off + f%w2]].
+    selmap : (L,) int32 -- concatenated per-(stamp, neighbor-instamp) local
+        pixel index -> A slot maps (-1 for unselected pixels; dropped).
+    """
+    j = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+    valid = j < meta[:, 4:5]
+    f = meta[:, 5:6] + j
+    w2 = jnp.maximum(meta[:, 1:2], 1)
+    src = meta[:, 0:1] + j
+    vals = pool[jnp.where(valid, src, 0)]
+    s1 = selmap[jnp.where(valid, meta[:, 2:3] + f // w2, 0)]
+    s2 = selmap[jnp.where(valid, meta[:, 3:4] + f % w2, 0)]
+    dst = s1 * n_pad + s2
+    dst = jnp.where(valid & (s1 >= 0) & (s2 >= 0), dst, _BIG)
+    return A.at[dst.ravel()].add(vals.ravel(), mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("bucket", "n_pad"),
+                   donate_argnums=(0,))
+def pool_to_A_sym(A, pool, meta, selmap, bucket: int, n_pad: int):
+    """
+    Like :func:`pool_to_A` but writes each value to BOTH (row, col) and
+    (col, row) -- the off-diagonal block pairs of the host path
+    (reference/coadd block layout: sub and sub.T, coadd.py:1057-1058).
+    """
+    j = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+    valid = j < meta[:, 4:5]
+    f = meta[:, 5:6] + j
+    w2 = jnp.maximum(meta[:, 1:2], 1)
+    src = meta[:, 0:1] + j
+    vals = pool[jnp.where(valid, src, 0)]
+    s1 = selmap[jnp.where(valid, meta[:, 2:3] + f // w2, 0)]
+    s2 = selmap[jnp.where(valid, meta[:, 3:4] + f % w2, 0)]
+    ok = valid & (s1 >= 0) & (s2 >= 0)
+    dst1 = jnp.where(ok, s1 * n_pad + s2, _BIG)
+    dst2 = jnp.where(ok, s2 * n_pad + s1, _BIG)
+    A = A.at[dst1.ravel()].add(vals.ravel(), mode="drop")
+    return A.at[dst2.ravel()].add(vals.ravel(), mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("bucket", "n_pad", "m"),
+                   donate_argnums=(0,))
+def scatter_B(B, vals, meta, bucket: int, n_pad: int, m: int):
+    """
+    Scatter io-sweep values into the flat -B/2 tensor.
+
+    B : (n_out*m*n_pad,) flat (donated).
+    vals : (R, bucket) sweep values for rects of shape (w1 input pixels, m
+        output points), raveled row-major (input-pixel major).
+    meta : (R, 4) int32 rows [dst_base, col0, off, nval] where
+        dst_base = j_out*m*n_pad; value j (flat f = off + j) lands at
+        dst_base + (f % m)*n_pad + col0 + f // m.
+    """
+    j = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+    f = meta[:, 2:3] + j
+    dst = meta[:, 0:1] + (f % m) * n_pad + meta[:, 1:2] + f // m
+    valid = j < meta[:, 3:4]
+    dst = jnp.where(valid, dst, _BIG)
+    return B.at[dst.ravel()].add(vals.ravel(), mode="drop")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n2sq", "solver", "exact_UC", "maxiter"))
+def solve_finalize(A, mBhalf, C, kappaC, data, img_onehot, fade, relevant,
+                   ucmin, smax, rtol, n2sq: int, solver: str = "blocked",
+                   exact_UC: bool = True, maxiter: int = 30):
+    """
+    Per-stamp solve + coaddition, fully on device.
+
+    Parameters
+    ----------
+    A : (n_pad, n_pad) system matrix (assembly dtype; upcast to f64 here).
+    mBhalf : (n_out, m, n_pad)
+    C : (n_out,) ; kappaC : (nv,)
+    data : (n_inframe, n_pad) input layer values (zero in padding).
+    img_onehot : (n_pad, n_img) one-hot input-image membership (zero rows in
+        padding).
+    fade : (m,) trapezoid fade factors (1.0 when fade_kernel == 0).
+    relevant : (m, n_pad) bool acceptance mask (Iterative solver only; pass
+        a (1, 1) dummy otherwise).
+    n2sq : static n2**2 normalization for the per-image stamp weights
+        (reference coadd.py:1294-1353).
+    solver : "blocked" (f64 blocked Cholesky; TPU), "monolithic" (CPU),
+        "mixed" (f32 factor + f64 refinement), or "iterative" (masked CG).
+
+    Returns
+    -------
+    dict of device arrays:
+      outimage (n_out, n_inframe, m), Tsum_stamp (n_out, n_img),
+      Tsum_inpix (n_out, m), Neff (n_out, m),
+      kappa, Sigma, UC (n_out, m)  -- fades applied where the host path
+      applies them (T, kappa, Sigma, UC, Neff; reference coadd.py:1088-1122).
+    """
+    from ..solvers import (cholesky_solve, cholesky_solve_blocked,
+                           cholesky_solve_mixed, iterative_solve)
+
+    f64 = jnp.float64
+    A64 = A.astype(f64)
+    B64 = mBhalf.astype(f64)
+    C64 = C.astype(f64)
+    kC = kappaC.astype(f64)
+
+    if solver == "blocked":
+        T, kappa, Sigma, UC = cholesky_solve_blocked(A64, B64, C64, kC,
+                                                     ucmin, smax)
+    elif solver == "monolithic":
+        T, kappa, Sigma, UC = cholesky_solve(A64, B64, C64, kC, ucmin, smax)
+    elif solver == "mixed":
+        T, kappa, Sigma, UC = cholesky_solve_mixed(A64, B64, C64, kC,
+                                                   ucmin, smax)
+    elif solver == "iterative":
+        T, kappa, Sigma, UC = iterative_solve(
+            A64, B64, C64, kC, relevant, rtol, ucmin, smax,
+            maxiter=maxiter, exact_UC=exact_UC)
+        # CG quality estimates can round below zero; clamp like the host
+        # path does before the fade (coadd.py Iterative branch)
+        UC = jnp.maximum(UC, 1e-32)
+        Sigma = jnp.maximum(Sigma, 1e-32)
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+
+    fade64 = fade.astype(f64)
+    Tf = T * fade64[None, :, None]                           # (n_out, m, n)
+
+    outimage = jnp.einsum("omn,fn->ofm", Tf, data.astype(f64))
+    Tsum_image = jnp.einsum("omn,ni->omi", Tf, img_onehot.astype(f64))
+    Tsum_stamp = jnp.sum(Tsum_image, axis=1) / n2sq          # (n_out, n_img)
+    Tsum_inpix = jnp.sum(Tsum_image, axis=2)                 # (n_out, m)
+    absum = jnp.sum(jnp.abs(Tsum_image), axis=2)
+    Tnorm = Tsum_image / jnp.where(absum == 0, 1.0, absum)[:, :, None]
+    sq = jnp.sum(Tnorm * Tnorm, axis=2)
+    Neff = jnp.where(sq == 0, 0.0, 1.0 / jnp.where(sq == 0, 1.0, sq))
+
+    f32 = jnp.float32
+    return {
+        "outimage": outimage.astype(f32),
+        "Tsum_stamp": Tsum_stamp.astype(f32),
+        "Tsum_inpix": Tsum_inpix.astype(f32),
+        "Neff": (Neff * fade64[None, :]).astype(f32),
+        "kappa": (kappa * fade64[None, :]).astype(f32),
+        "Sigma": (Sigma * fade64[None, :]).astype(f32),
+        "UC": (UC * fade64[None, :]).astype(f32),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def init_A(eye_scale, n_pad: int):
+    """Fresh flat A buffer: identity diagonal (padding convention)."""
+    i = jnp.arange(n_pad, dtype=jnp.int32)
+    buf = jnp.zeros(n_pad * n_pad, dtype=eye_scale.dtype)
+    return buf.at[i * n_pad + i].set(eye_scale)
+
+
+@jax.jit
+def relevance_mask(out_x, out_y, in_x, in_y, rho):
+    """(m, n_pad) acceptance mask: |out - in| < rho (Iterative kernel;
+    reference lakernel.py:614-620).  Padded coordinates (1e6 sentinel)
+    fall outside every acceptance radius."""
+    return (jnp.hypot(out_y[:, None] - in_y[None, :],
+                      out_x[:, None] - in_x[None, :]) < rho)
+
+
+@functools.lru_cache(maxsize=None)
+def _zeros_fn(n: int, dtype_name: str, device):
+    dtype = jnp.dtype(dtype_name)
+    sh = jax.sharding.SingleDeviceSharding(device) if device is not None else None
+    return jax.jit(lambda: jnp.zeros((n,), dtype), out_shardings=sh)
+
+
+def zeros_on(n: int, dtype, device=None):
+    """Allocate a zero buffer directly on `device` (no host upload)."""
+    return _zeros_fn(int(n), jnp.dtype(dtype).name, device)()

@@ -259,6 +259,89 @@ _DENSE_RBATCH_BY_BUCKET = {1024: 128, 4096: 64, 16384: 32}
 _TABLE_PAD = 2048
 
 
+def _interp_rects_enqueue(rects, xt, yt, inv_scale, off_grid,
+                          kern: str = "D5512", device=None):
+    """
+    Enqueue the dense-sweep device computation for `rects` WITHOUT bringing
+    the values back to the host.
+
+    Same rect convention as :func:`_interp_rects_dense`.  Returns a list of
+    (batch, dev_vals) where dev_vals is an (rbatch, bucket) device array and
+    batch lists (rid, off, kg, i1s, i2s, w2, nval, bucket) rows aligned with
+    it.  The device-resident assembly path scatters dev_vals straight into
+    submatrix pools / B tensors; the host path drains them into numpy.
+    """
+    import jax
+    import jax.numpy as jnp
+    from collections import defaultdict
+
+    from .ops.interp import interp2d_dense_pairs
+
+    if not rects:
+        return []
+
+    def put(x):
+        return jax.device_put(x, device) if device is not None else jnp.asarray(x)
+
+    # combine all distinct stacks into one device array (one dispatch)
+    stack_off = {}
+    stacks = []
+    total = 0
+    for (stk, *_rest) in rects:
+        if id(stk) not in stack_off:
+            stack_off[id(stk)] = total
+            stacks.append(stk)
+            total += stk.shape[0]
+    dt = compute_dtype()
+    combined = (stacks[0] if len(stacks) == 1
+                else jnp.concatenate(stacks, axis=0)).astype(dt)
+
+    L = len(xt)
+    Lp = max(_TABLE_PAD, -(-L // _TABLE_PAD) * _TABLE_PAD)
+    xt_d = put(np.pad(np.asarray(xt, dtype=np.float64), (0, Lp - L)))
+    yt_d = put(np.pad(np.asarray(yt, dtype=np.float64), (0, Lp - L)))
+
+    pieces = []
+    maxb = _DENSE_BUCKETS[-1]
+    for rid, (stk, k, i1s, w1, i2s, w2) in enumerate(rects):
+        if w1 == 0 or w2 == 0:
+            continue
+        kg = stack_off[id(stk)] + k
+        nq = w1 * w2
+        for off in range(0, nq, maxb):
+            nval = min(maxb, nq - off)
+            bucket = next(b for b in _DENSE_BUCKETS if b >= nval)
+            pieces.append((rid, off, kg, i1s, i2s, w2, nval, bucket))
+
+    from .ops.interp_pallas import interp2d_dense_pairs_pallas, pallas_enabled
+
+    # the Pallas kernel is D5512-only; other families use the XLA path
+    use_pallas = pallas_enabled() and kern == "D5512"
+    fn = interp2d_dense_pairs_pallas if use_pallas else interp2d_dense_pairs
+    groups = defaultdict(list)
+    for p in pieces:
+        groups[p[7]].append(p)
+    pending = []
+    with _phase("sweep.enqueue"):
+        for bucket, plist in groups.items():
+            rbatch = _DENSE_RBATCH_BY_BUCKET[bucket]
+            for i0 in range(0, len(plist), rbatch):
+                batch = plist[i0:i0 + rbatch]
+                meta = np.zeros((rbatch, 5), dtype=np.int32)
+                meta[:, 2] = 1  # width placeholder for padded rows (n_valid=0)
+                ks = np.zeros(rbatch, dtype=np.int32)
+                for j, (rid, off, kg, i1s, i2s, w2, nval, _b) in enumerate(batch):
+                    meta[j] = (i1s, i2s, w2, off, nval)
+                    ks[j] = kg
+                imgs = jnp.take(combined, put(ks), axis=0)
+                # tables stay f64: the fractional phase is extracted in f64
+                # on device before the cast to the image dtype
+                args = () if use_pallas else (kern,)
+                pending.append((batch, fn(imgs, xt_d, yt_d, put(meta),
+                                          inv_scale, off_grid, bucket, *args)))
+    return pending
+
+
 def _interp_rects_dense(rects, xt, yt, inv_scale, off_grid,
                         kern: str = "D5512"):
     """
@@ -290,68 +373,7 @@ def _interp_rects_dense(rects, xt, yt, inv_scale, off_grid,
     from .ops.interp import interp2d_dense_pairs
 
     results = [np.zeros(w1 * w2) for (_s, _k, _i1, w1, _i2, w2) in rects]
-    if not rects:
-        return results
-
-    # combine all distinct stacks into one device array (one dispatch)
-    stack_off = {}
-    stacks = []
-    total = 0
-    for (stk, *_rest) in rects:
-        if id(stk) not in stack_off:
-            stack_off[id(stk)] = total
-            stacks.append(stk)
-            total += stk.shape[0]
-    dt = compute_dtype()
-    combined = (stacks[0] if len(stacks) == 1
-                else jnp.concatenate(stacks, axis=0)).astype(dt)
-
-    L = len(xt)
-    Lp = max(_TABLE_PAD, -(-L // _TABLE_PAD) * _TABLE_PAD)
-    xt_d = jnp.asarray(np.pad(np.asarray(xt, dtype=np.float64), (0, Lp - L)))
-    yt_d = jnp.asarray(np.pad(np.asarray(yt, dtype=np.float64), (0, Lp - L)))
-
-    pieces = []
-    maxb = _DENSE_BUCKETS[-1]
-    for rid, (stk, k, i1s, w1, i2s, w2) in enumerate(rects):
-        if w1 == 0 or w2 == 0:
-            continue
-        kg = stack_off[id(stk)] + k
-        nq = w1 * w2
-        for off in range(0, nq, maxb):
-            nval = min(maxb, nq - off)
-            bucket = next(b for b in _DENSE_BUCKETS if b >= nval)
-            pieces.append((rid, off, kg, i1s, i2s, w2, nval, bucket))
-
-    from .ops.interp_pallas import interp2d_dense_pairs_pallas, pallas_enabled
-
-    # the Pallas kernel is D5512-only; other families use the XLA path
-    use_pallas = pallas_enabled() and kern == "D5512"
-    fn = interp2d_dense_pairs_pallas if use_pallas else interp2d_dense_pairs
-    groups = defaultdict(list)
-    for p in pieces:
-        groups[p[7]].append(p)
-    # enqueue every batch first (JAX dispatch is asynchronous), then drain:
-    # the device computes while the host builds the remaining metadata, and
-    # no per-batch round-trip latency is paid
-    pending = []
-    with _phase("sweep.enqueue"):
-        for bucket, plist in groups.items():
-            rbatch = _DENSE_RBATCH_BY_BUCKET[bucket]
-            for i0 in range(0, len(plist), rbatch):
-                batch = plist[i0:i0 + rbatch]
-                meta = np.zeros((rbatch, 5), dtype=np.int32)
-                meta[:, 2] = 1  # width placeholder for padded rows (n_valid=0)
-                ks = np.zeros(rbatch, dtype=np.int32)
-                for j, (rid, off, kg, i1s, i2s, w2, nval, _b) in enumerate(batch):
-                    meta[j] = (i1s, i2s, w2, off, nval)
-                    ks[j] = kg
-                imgs = jnp.take(combined, jnp.asarray(ks), axis=0)
-                # tables stay f64: the fractional phase is extracted in f64
-                # on device before the cast to the image dtype
-                args = () if use_pallas else (kern,)
-                pending.append((batch, fn(imgs, xt_d, yt_d, jnp.asarray(meta),
-                                          inv_scale, off_grid, bucket, *args)))
+    pending = _interp_rects_enqueue(rects, xt, yt, inv_scale, off_grid, kern)
     with _phase("sweep.drain"):
         for batch, dev_vals in pending:
             vals = np.asarray(dev_vals)

@@ -6,6 +6,7 @@ from .kernels import (  # noqa: F401
     cholesky_solve_blocked,
     cholesky_solve_mixed,
     eigen_solve,
+    eigen_solve_device,
     empirical_weights,
     iterative_solve,
 )

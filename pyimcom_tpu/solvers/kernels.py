@@ -250,6 +250,39 @@ def cholesky_solve(A, mBhalf, C, kappaC, ucmin, smax):
     return T, kappa, Sigma, UC
 
 
+@functools.partial(jax.jit, static_argnames=("n_nodes",))
+def eigen_solve_device(A, mBhalf, C, kappaC, ucmin, smax, n_nodes: int = 9):
+    """
+    Device (TPU) implementation of the Eigen-kernel contract.
+
+    XLA:TPU cannot compile the monolithic f64 ``eigh`` (the QDWH emulation
+    hangs), so the per-pixel kappa bisection is emulated with the blocked
+    Cholesky machinery: the eigen bisection converges to the kappa where
+    U/C crosses ucmin (or Sigma crosses smax) -- exactly the interval rule
+    of the node-weight search (reference routine.py:341-430 vs :487-588).
+    A dense geometric kappa grid of `n_nodes` between kappaC[0] and
+    kappaC[-1] replaces the eigenbasis sweep; the node-weight refinement
+    then resolves kappa within the bracketing interval.  Cross-kernel
+    agreement of the two formulations is the reference's own validation
+    (tests/pyimcom/test_pyimcom.py:953-959, std(diff) < 5e-6).
+
+    Same contract as :func:`eigen_solve`, including the reported
+    kappa*C quirk on the multi-kappa path (reference lakernel.py:222).
+    """
+    nv = kappaC.shape[0]
+    if nv == 1:
+        # fixed kappa: (A + kappa I)^{-1} B is factorization-independent
+        T, kappa, Sigma, UC = cholesky_solve_blocked(A, mBhalf, C, kappaC,
+                                                     ucmin, smax)
+        return T, kappa, Sigma, UC
+
+    grid = jnp.geomspace(kappaC[0], kappaC[-1], n_nodes)
+    T, kappa, Sigma, UC = cholesky_solve_blocked(A, mBhalf, C, grid,
+                                                 ucmin, smax)
+    # reference quirk: the multi-kappa eigen path reports kappa*C once more
+    return T, kappa * C[:, None], Sigma, UC
+
+
 CHOL_BLOCK = 128
 
 

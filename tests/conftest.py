@@ -16,7 +16,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# cache dir exclusive to the test context: compile-cache entries written by
+# processes with different XLA flag sets (e.g. ones where the axon TPU
+# plugin initialized) are not safely loadable here -- mixing them produced
+# machine-feature mismatch warnings and futex-deadlocked loads
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.devices()[0].platform == "cpu", f"tests must run on CPU, got {jax.devices()}"

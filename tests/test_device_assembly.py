@@ -1,0 +1,224 @@
+"""
+Device-resident system-matrix assembly: kernel unit tests plus an
+end-to-end equivalence check of the device group path against the host
+assembly path (same block, same survey; reference contract is the host
+path, itself pinned by tests/test_e2e.py against the reference acceptance
+criteria, reference tests/pyimcom/test_pyimcom.py:922-1010).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyimcom_tpu.ops import assemble
+
+
+def test_scatter_pool_and_pool_to_A_match_numpy():
+    rng = np.random.default_rng(0)
+    n1, n2 = 37, 53
+    sub = rng.standard_normal((n1, n2))
+    base = 11
+    pool = np.zeros(base + n1 * n2)
+
+    # scatter the submatrix in as two image-run rects, chunked
+    CH = 64
+    pool_dev = jnp.zeros(base + n1 * n2)
+    rects = [(0, 0, n1, 30), (0, 30, n1, n2 - 30)]  # (s1, s2, w1, w2)
+    rows = []
+    for (s1, s2, w1, w2) in rects:
+        vals_rect = sub[s1:s1 + w1, s2:s2 + w2].ravel()
+        nq = w1 * w2
+        for off in range(0, nq, CH):
+            nval = min(CH, nq - off)
+            rows.append(((base + s1 * n2 + s2, w2, n2, off, nval),
+                         vals_rect[off:off + nval]))
+    R = 8
+    for i0 in range(0, len(rows), R):
+        chunk = rows[i0:i0 + R]
+        meta = np.zeros((R, 5), np.int32)
+        vals = np.zeros((R, CH))
+        for j, (mrow, v) in enumerate(chunk):
+            meta[j] = mrow
+            vals[j, :len(v)] = v
+        pool_dev = assemble.scatter_pool(pool_dev, jnp.asarray(vals),
+                                         jnp.asarray(meta), CH)
+    pool = np.asarray(pool_dev)
+    np.testing.assert_allclose(pool[base:].reshape(n1, n2), sub,
+                               rtol=0, atol=1e-14)
+
+    # constant addend over the first rect
+    meta = np.zeros((R, 5), np.int32)
+    consts = np.zeros(R)
+    meta[0] = (base, 30, n2, 0, n1 * 30)
+    consts[0] = 0.25
+    pool_dev = assemble.scatter_pool_constant(
+        pool_dev, jnp.asarray(consts), jnp.asarray(meta), n1 * 30)
+    sub[:, :30] += 0.25
+    np.testing.assert_allclose(np.asarray(pool_dev)[base:].reshape(n1, n2),
+                               sub, rtol=0, atol=1e-14)
+
+    # pool -> A with selections (rows: every other pixel; cols: last 20)
+    n_pad = 64
+    sel1 = np.full(n1, -1, np.int32)
+    sel1[::2] = np.arange((n1 + 1) // 2)
+    sel2 = np.full(n2, -1, np.int32)
+    sel2[-20:] = 10 + np.arange(20)
+    selmap = jnp.asarray(np.concatenate([sel1, sel2]))
+    A = jnp.zeros(n_pad * n_pad)
+    total = n1 * n2
+    rows = []
+    for off in range(0, total, CH):
+        rows.append((base + off, n2, 0, n1, min(CH, total - off), off))
+    meta = np.zeros((len(rows), 6), np.int32)
+    for j, r in enumerate(rows):
+        meta[j] = r
+    A = assemble.pool_to_A(A, pool_dev, jnp.asarray(meta), selmap, CH, n_pad)
+    A = np.asarray(A).reshape(n_pad, n_pad)
+    want = np.zeros((n_pad, n_pad))
+    want[np.ix_(sel1[::2], sel2[-20:])] = sub[::2, -20:]
+    np.testing.assert_allclose(A, want, rtol=0, atol=1e-14)
+
+    # symmetric variant writes both orientations
+    A2 = assemble.pool_to_A_sym(jnp.zeros(n_pad * n_pad), pool_dev,
+                                jnp.asarray(meta), selmap, CH, n_pad)
+    A2 = np.asarray(A2).reshape(n_pad, n_pad)
+    np.testing.assert_allclose(A2, want + want.T, rtol=0, atol=1e-14)
+
+
+def test_scatter_B_matches_numpy():
+    rng = np.random.default_rng(1)
+    n_out, m, n_pad = 2, 9, 32
+    w1 = 7
+    col0 = 5
+    B = jnp.zeros(n_out * m * n_pad)
+    want = np.zeros((n_out, m, n_pad))
+    CH = 16
+    for j_out in range(n_out):
+        vals_rect = rng.standard_normal((w1, m))
+        want[j_out, :, col0:col0 + w1] = vals_rect.T
+        nq = w1 * m
+        rows = [(j_out * m * n_pad, col0, off, min(CH, nq - off))
+                for off in range(0, nq, CH)]
+        meta = np.zeros((len(rows), 4), np.int32)
+        vals = np.zeros((len(rows), CH))
+        for j, r in enumerate(rows):
+            meta[j] = r
+            vals[j, :r[3]] = vals_rect.ravel()[r[2]:r[2] + r[3]]
+        B = assemble.scatter_B(B, jnp.asarray(vals), jnp.asarray(meta),
+                               CH, n_pad, m)
+    np.testing.assert_allclose(np.asarray(B).reshape(n_out, m, n_pad), want,
+                               rtol=0, atol=1e-14)
+
+
+@pytest.fixture(scope="module")
+def small_survey(tmp_path_factory):
+    """A reduced survey (small PSF, tight acceptance radius) so both
+    assembly paths run in reasonable time on the CPU backend."""
+    from survey_fixture import build_survey
+
+    tmp = tmp_path_factory.mktemp("devasm")
+    cfg_dict = build_survey(tmp, n_obs=8, extrainput=["cstar14"],
+                            config_overrides={"NPIXPSF": 16, "INPAD": 0.3,
+                                              "FLATPEN": 1e-7})
+    return tmp, cfg_dict
+
+
+def _run(cfg_dict, suffix, stop, monkeypatch, device: bool, n_devices=None):
+    from pyimcom_tpu.config import Config
+    from pyimcom_tpu.coadd import Block
+
+    monkeypatch.setenv("PYIMCOM_DEVICE_ASSEMBLY", "1" if device else "0")
+    if n_devices is not None:
+        monkeypatch.setenv("PYIMCOM_NDEVICES", str(n_devices))
+    else:
+        monkeypatch.delenv("PYIMCOM_NDEVICES", raising=False)
+    d = dict(cfg_dict)
+    d["STOP"] = stop
+    d["OUT"] = d["OUT"] + suffix
+    Block(cfg=Config(d), this_sub=1)
+    return d["OUT"] + "_00_01.fits"
+
+
+def _compare_outputs(out_a, out_b, atol_sci):
+    from pyimcom_tpu.fitsio import fits_read
+
+    fa = fits_read(out_a)
+    fb = fits_read(out_b)
+    a = np.asarray(fa[0].data, np.float64)
+    b = np.asarray(fb[0].data, np.float64)
+    scale = max(np.abs(a).max(), 1e-30)
+    np.testing.assert_allclose(b, a, rtol=0, atol=atol_sci * scale)
+    names_a = {h.header.get("EXTNAME") for h in fa}
+    for name in ["FIDELITY", "SIGMA", "KAPPA", "INWTSUM", "EFFCOVER"]:
+        if name not in names_a:
+            continue  # e.g. KAPPA is stripped for single-kappa configs
+        np.testing.assert_allclose(np.asarray(fb[name].data, np.float64),
+                                   np.asarray(fa[name].data, np.float64),
+                                   rtol=0, atol=1.0)  # quantized to <=1 LSB
+    np.testing.assert_allclose(np.asarray(fb["INWEIGHT"].data),
+                               np.asarray(fa["INWEIGHT"].data),
+                               rtol=0, atol=1e-8)
+
+
+def test_device_path_matches_host_path(small_survey, monkeypatch):
+    """STOP=6 covers one full 2x2 group plus two stamps of the next group,
+    exercising fresh pools, cross-group pool reuse, selection maps, the
+    symmetric off-diagonal scatter, and the flat-field penalty addend."""
+    tmp, cfg_dict = small_survey
+    out_h = _run(cfg_dict, "_host", 6, monkeypatch, device=False)
+    out_d = _run(cfg_dict, "_dev", 6, monkeypatch, device=True)
+    _compare_outputs(out_h, out_d, atol_sci=1e-8)
+
+
+def test_multi_device_rounds_match_single_device(small_survey, monkeypatch):
+    """Groups scattered over 4 virtual devices produce the same block as a
+    single device (stamp-level data parallelism; VERDICT round-1 item 1)."""
+    import jax
+
+    if len(jax.local_devices()) < 4:
+        pytest.skip("needs >= 4 devices (conftest forces 8 virtual)")
+    tmp, cfg_dict = small_survey
+    out_1 = _run(cfg_dict, "_dev1", 6, monkeypatch, device=True, n_devices=1)
+    out_4 = _run(cfg_dict, "_dev4", 6, monkeypatch, device=True, n_devices=4)
+    _compare_outputs(out_1, out_4, atol_sci=1e-12)
+
+
+def test_solve_finalize_iterative_matches_kernel():
+    """solve_finalize's device coaddition wrapper reproduces the Iterative
+    kernel + host coaddition algebra on a synthetic stamp."""
+    import jax.numpy as jnp
+
+    from pyimcom_tpu.solvers import iterative_solve
+
+    rng = np.random.default_rng(2)
+    n, m, n_out, nfr, nimg = 128, 25, 1, 2, 3
+    X = rng.standard_normal((n, 32))
+    A = X @ X.T / 32 + np.eye(n)
+    B = rng.standard_normal((n_out, m, n))
+    C = np.array([1.5])
+    kC = np.array([1e-4])
+    rel = rng.random((m, n)) < 0.7
+    data = rng.standard_normal((nfr, n)).astype(np.float32)
+    img = rng.integers(0, nimg, n)
+    onehot = np.zeros((n, nimg), np.float32)
+    onehot[np.arange(n), img] = 1.0
+    fade = rng.uniform(0.5, 1.0, m)
+
+    out = assemble.solve_finalize(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(C), jnp.asarray(kC),
+        jnp.asarray(data), jnp.asarray(onehot), jnp.asarray(fade),
+        jnp.asarray(rel), 1e-6, 0.5, 1e-3, 25, "iterative", False, 20)
+
+    T, kappa, Sigma, UC = iterative_solve(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(C), jnp.asarray(kC),
+        jnp.asarray(rel), 1e-3, 1e-6, 0.5, maxiter=20, exact_UC=False)
+    Tf = np.asarray(T) * fade[None, :, None]
+    want_img = np.einsum("omn,fn->ofm", Tf, data)
+    np.testing.assert_allclose(np.asarray(out["outimage"]), want_img,
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["UC"]),
+                               np.maximum(np.asarray(UC), 1e-32) * fade[None, :],
+                               rtol=1e-5)
+    Tsum_image = np.einsum("omn,ni->omi", Tf, onehot)
+    np.testing.assert_allclose(np.asarray(out["Tsum_stamp"]),
+                               Tsum_image.sum(1) / 25, rtol=0, atol=1e-6)

@@ -235,3 +235,43 @@ def test_blocked_cholesky_matches_monolithic(system):
         T1, k1, S1, U1 = cholesky_solve_blocked(Ap, Bp, C, kappaC, UCMIN, SMAX)
         np.testing.assert_allclose(np.asarray(T1), np.asarray(T0), rtol=0, atol=1e-9)
         np.testing.assert_allclose(np.asarray(U1), np.asarray(U0), rtol=0, atol=1e-10)
+
+
+def test_eigen_device_emulation_matches_eigen(system):
+    """eigen_solve_device (TPU path: dense-kappa-grid Cholesky emulation)
+    agrees with the eigenbasis bisection to the reference's cross-kernel
+    tolerance (test_pyimcom.py:953-959)."""
+    from pyimcom_tpu.solvers import eigen_solve_device
+
+    A, mBhalf, C, _ = system
+    n = A.shape[0]
+    npad = ((n + 127) // 128) * 128
+    Ap = jnp.eye(npad, dtype=A.dtype).at[:n, :n].set(A)
+    Bp = jnp.zeros((1, mBhalf.shape[1], npad)).at[:, :, :n].set(mBhalf)
+
+    # single kappa: identical solves up to factorization roundoff
+    kap1 = jnp.array([5e-4])
+    Te, ke, Se, Ue = eigen_solve(Ap, Bp, C, kap1, UCMIN, SMAX)
+    Td, kd, Sd, Ud = eigen_solve_device(Ap, Bp, C, kap1, UCMIN, SMAX)
+    np.testing.assert_allclose(np.asarray(Td), np.asarray(Te), rtol=0,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(kd), np.asarray(ke), rtol=1e-12)
+
+    # multi kappa: same contract (incl. the kappa*C reporting quirk)
+    kappaC = jnp.array([1e-5, 1e-4, 1e-3])
+    Te, ke, Se, Ue = eigen_solve(Ap, Bp, C, kappaC, UCMIN, SMAX)
+    Td, kd, Sd, Ud = eigen_solve_device(Ap, Bp, C, kappaC, UCMIN, SMAX)
+    data = np.asarray(Bp)[0, 12, :]
+    mx = np.abs(data).max()
+    img_e = np.asarray(Te[0]) @ (data / mx)
+    img_d = np.asarray(Td[0]) @ (data / mx)
+    assert np.std(img_e - img_d) < 5e-6
+    # reported kappa in the same (kappa*C) units and node envelope
+    kmin = 1e-5 * float(C[0]) ** 2 / np.sqrt(10)
+    kmax = 1e-3 * float(C[0]) ** 2 * np.sqrt(10)
+    assert np.all(np.asarray(kd) >= kmin * 0.99)
+    assert np.all(np.asarray(kd) <= kmax * 1.01)
+    # exact reported quality
+    UC_exact, N_exact = exact_quality(np.asarray(Td)[:, :, :], np.asarray(Ap),
+                                      np.asarray(Bp), np.asarray(C))
+    np.testing.assert_allclose(np.asarray(Ud), UC_exact, rtol=0, atol=1e-8)
