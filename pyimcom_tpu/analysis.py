@@ -327,6 +327,100 @@ class Mosaic:
                 out[iby, ibx] = self[ibx, iby].get_mean_coverage()
         return out
 
+    def get_coverage_map(self, overwrite: bool = False) -> np.ndarray:
+        """Per-block mean-coverage map, cached as <stem>_Coverage.npy
+        (reference _BlkGrp.get_coverage_map, analysis.py:1165-1200)."""
+        import os
+
+        fname = self.stem + "_Coverage.npy"
+        if not overwrite and os.path.exists(fname):
+            self.coverage_map = np.load(fname)
+            return self.coverage_map
+        self.coverage_map = self.mean_coverage_map()
+        np.save(fname, self.coverage_map)
+        return self.coverage_map
+
+    def get_noise_power_spectra(self, layer="whitenoise1", blocks=None,
+                                overwrite: bool = False) -> np.ndarray:
+        """
+        Azimuthally averaged noise power spectra over a set of blocks,
+        cached as <stem>_NoisePS.npy (reference _BlkGrp.get_noise_power_
+        spectra, analysis.py:1202-1307).  Returns (nblocks, nradbins, 2).
+        """
+        import os
+
+        fname = self.stem + "_NoisePS.npy"
+        if not overwrite and os.path.exists(fname):
+            self.noise_ps = np.load(fname)
+            return self.noise_ps
+        if blocks is None:
+            blocks = [(ibx, iby) for ibx in range(self.nblock)
+                      for iby in range(self.nblock)]
+        specs = []
+        for (ibx, iby) in blocks:
+            na = NoiseAnal(self[ibx, iby], layer)
+            na()
+            specs.append(na.ps1d)
+            na.clear()
+        self.noise_ps = np.stack(specs)
+        np.save(fname, self.noise_ps)
+        return self.noise_ps
+
+    def get_star_catalog(self, layer: str = "cstar14", blocks=None,
+                         outfile: str = None) -> dict:
+        """
+        Star-moment catalog over a set of blocks, written to
+        <stem>_StarCat.fits (reference _BlkGrp.get_star_catalog,
+        analysis.py:1309-1371).
+        """
+        from .fitsio import HDUList, ImageHDU, TableHDU, fits_write
+
+        if blocks is None:
+            blocks = [(ibx, iby) for ibx in range(self.nblock)
+                      for iby in range(self.nblock)]
+        cols = None
+        for (ibx, iby) in blocks:
+            cat = StarsAnal(self[ibx, iby], layer=layer).catalog()
+            n = len(cat["ipix"])
+            cat["ibx"] = np.full(n, ibx, dtype=np.int32)
+            cat["iby"] = np.full(n, iby, dtype=np.int32)
+            if cols is None:
+                cols = {k: [v] for k, v in cat.items()}
+            else:
+                for k, v in cat.items():
+                    cols[k].append(v)
+        data = {k: np.concatenate(v) for k, v in (cols or {}).items()}
+        data = {k: (v.astype(np.int16) if v.dtype == bool else v)
+                for k, v in data.items()}
+        t = TableHDU(data=data, name="STARCAT")
+        t.header["LAYER"] = layer[:60]
+        fits_write(outfile or (self.stem + "_StarCat.fits"),
+                   HDUList([ImageHDU(None), t]))
+        return data
+
+    def get_consump_map(self, overwrite: bool = False) -> np.ndarray:
+        """
+        Per-block wall-time consumption map parsed from the job logs,
+        cached as <stem>_Consump.npy (reference Mosaic.get_consump_map,
+        analysis.py:1128-1163).
+        """
+        import os
+
+        fname = self.stem + "_Consump.npy"
+        if not overwrite and os.path.exists(fname):
+            self.consump_map = np.load(fname)
+            return self.consump_map
+        nb = self.nblock
+        self.consump_map = np.zeros((nb, nb))
+        for iby in range(nb):
+            for ibx in range(nb):
+                try:
+                    self.consump_map[iby, ibx] = self[ibx, iby].get_time_consump()
+                except (FileNotFoundError, KeyError):
+                    self.consump_map[iby, ibx] = np.nan
+        np.save(fname, self.consump_map)
+        return self.consump_map
+
 
 class Suite:
     """
@@ -345,6 +439,21 @@ class Suite:
         total = nb * nb
         idx = (np.arange(n) * Suite.PRIME_STRIDE) % total
         return [(int(i // nb), int(i % nb)) for i in idx]
+
+    def get_consump_map(self, overwrite: bool = False) -> np.ndarray:
+        """Stacked per-mosaic consumption maps (reference Suite branch of
+        get_consump_map, analysis.py:1156-1160)."""
+        return np.stack([m.get_consump_map(overwrite) for m in self.mosaics])
+
+    def mean_coverage(self) -> np.ndarray:
+        """Sampled mean coverage per mosaic (spot check over the prime-stride
+        block sample)."""
+        out = []
+        for m in self.mosaics:
+            vals = [m[b].get_mean_coverage()
+                    for b in self.sample_blocks(min(4, m.nblock ** 2))]
+            out.append(float(np.mean(vals)))
+        return np.asarray(out)
 
 
 class StarsAnal:
@@ -407,11 +516,87 @@ class NoiseAnal:
     """
     Noise power spectra of coadded noise layers
     (reference NoiseAnal, analysis.py:565-850).
+
+    Calling the instance reproduces the reference pipeline: physical
+    normalization per layer type, 8x8-binned 2D spectrum (`ps2d`), and the
+    azimuthally averaged 1D spectrum with standard errors (`ps1d`).
     """
+
+    # lab-noise normalization constants (reference analysis.py:567-607)
+    tfr = 3.08
+    gain = 1.458
+    ABstd = 3.631e-20
+    h = 6.62607015e-27
+    m_ab = 23.9
+    AREA = {"Y106": 7006.0, "J129": 7111.0, "H158": 7340.0,
+            "F184": 4654.0, "K213": 4200.0, "W146": 22085.0}
 
     def __init__(self, outimage: OutImage, layer="whitenoise1"):
         self.outimage = outimage
         self.layer = layer
+
+    @classmethod
+    def get_norm(cls, layer: str, L: int, filtername: str, s_out: float):
+        """Physical norm for the 2D spectrum (reference analysis.py:618-660)."""
+        if layer.startswith(("white", "1f")):
+            return (L / s_out) ** 2
+        if layer.startswith("lab"):
+            return (cls.tfr / cls.gain * cls.ABstd / cls.h
+                    * cls.AREA[filtername] * 10 ** (-0.4 * cls.m_ab)
+                    * s_out ** 2)
+        return float(L) ** 2  # generic: per-pixel variance units
+
+    @staticmethod
+    def azimuthal_average(image, nradbins: int):
+        """Radial profile (mean, standard error) of a centered 2D image
+        (reference analysis.py:661-707)."""
+        from scipy import ndimage
+
+        ny, nx = image.shape
+        yy, xx = np.mgrid[:ny, :nx]
+        r = np.hypot(xx - nx / 2, yy - ny / 2)
+        rbin = (nradbins * r / r.max()).astype(int)
+        ridx = np.arange(1, rbin.max() + 1)[:nradbins]
+        mean = ndimage.mean(image, labels=rbin, index=ridx)
+        std = ndimage.standard_deviation(image, labels=rbin, index=ridx)
+        npix = ndimage.sum(np.ones_like(image), labels=rbin, index=ridx)
+        return mean, std / np.sqrt(np.maximum(npix, 1))
+
+    def __call__(self, padding: bool = False):
+        """Measure ps2d ((L/8)^2 binned 2D spectrum) and ps1d
+        ((nradbins, 2): mean, err) of the configured layer
+        (reference analysis.py:745-808)."""
+        cfg = self.outimage.cfg
+        L = cfg.NsideP
+        indata = np.asarray(self.outimage.get_coadded_layer(self.layer),
+                            dtype=np.float64)
+        if not padding and cfg.postage_pad > 0:
+            bdpad = cfg.n2 * cfg.postage_pad
+            indata = indata[bdpad:-bdpad, bdpad:-bdpad]
+            L = cfg.Nside
+        s_out = cfg.dtheta * 3600.0
+        from .config import Settings as Stn
+
+        Lcut = L // 8 * 8
+        norm = NoiseAnal.get_norm(self.layer, Lcut,
+                                  Stn.RomanFilters[cfg.use_filter], s_out)
+        ps = np.empty((Lcut, Lcut), dtype=np.float64)
+        rps = np.square(np.abs(np.fft.fftshift(
+            np.fft.rfft2(indata[:Lcut, :Lcut]), 0))) / norm
+        ps[:, Lcut // 2:] = rps[:, :-1]
+        ps[1:, :Lcut // 2] = rps[Lcut - 1:0:-1, Lcut // 2:0:-1]
+        ps[0, :Lcut // 2] = rps[0, Lcut // 2:0:-1]
+        self.ps2d = np.average(ps.reshape(Lcut // 8, 8, Lcut // 8, 8),
+                               axis=(1, 3))
+        nradbins = Lcut // 16
+        mean, err = NoiseAnal.azimuthal_average(self.ps2d, nradbins)
+        self.ps1d = np.stack([mean, err], axis=-1)
+        return self
+
+    def clear(self):
+        for attr in ("ps2d", "ps1d"):
+            if hasattr(self, attr):
+                delattr(self, attr)
 
     def power_spectrum(self, nbins: int = 32, L: int = None):
         """

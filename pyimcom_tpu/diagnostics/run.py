@@ -8,13 +8,17 @@ from __future__ import annotations
 import sys
 
 from .report import ValidationReport
-from .sections import (DynamicRange, LayerReport, MosaicImage,
+from .sections import (DynamicRange, LayerReport, MosaicImage, RowStability,
                        NoiseReport, SimulatedStar, StarCube)
 
 
 def run_report(fname, outstem, clear_all: bool = True,
-               star_layer: str = "cstar14") -> str:
-    """Build the standard validation report; returns the PDF path."""
+               star_layer: str = "cstar14", ds_dir: str = None) -> str:
+    """Build the standard validation report; returns the PDF path.
+
+    ds_dir : optional directory of destriped exposures for the
+    row-stability section (reference diagnostics/noise/stability.py).
+    """
     rpt = ValidationReport(fname, outstem, clear_all=clear_all)
     for cls in [MosaicImage, LayerReport, NoiseReport, DynamicRange,
                 StarCube]:
@@ -22,6 +26,9 @@ def run_report(fname, outstem, clear_all: bool = True,
         s.build()
         rpt.addsections([s])
     s = SimulatedStar(rpt, layer=star_layer)
+    s.build()
+    rpt.addsections([s])
+    s = RowStability(rpt, directory=ds_dir)
     s.build()
     rpt.addsections([s])
     return rpt.compile()
@@ -32,7 +39,8 @@ def main(argv=None):
     if len(argv) < 2:
         print("usage: python -m pyimcom_tpu.diagnostics.run <block.fits> <outstem>")
         return 1
-    pdf = run_report(argv[0], argv[1])
+    ds_dir = argv[2] if len(argv) > 2 else None
+    pdf = run_report(argv[0], argv[1], ds_dir=ds_dir)
     print("report written to", pdf)
     return 0
 

@@ -231,3 +231,71 @@ class StarCube(ReportSection):
             f"g1_med {np.median(cat[:, 14]):.2e}\n"
             f"g2_med {np.median(cat[:, 15]):.2e}\n"
             f"fid_med_dB {np.median(cat[:, 20]):.2f}")
+
+
+class RowStability(ReportSection):
+    """
+    Row-stability diagnostics of destriped exposures (reference
+    diagnostics/noise/stability.py): heatmap + mean/std band of per-exposure
+    row-median profiles, grouped by SCA.
+
+    Parameters
+    ----------
+    directory : directory of destriped FITS exposures (imdestripe output);
+        when None the section is skipped (coadd-only reports).
+    pattern : regex with group(1) = observation name and group(2) = SCA.
+    """
+
+    def __init__(self, report, directory=None,
+                 pattern=r"ds_(\w+_\d+)_(\d+)\.fits$"):
+        super().__init__(report)
+        self.directory = directory
+        self.pattern = pattern
+
+    def build(self):
+        import os
+        import re
+
+        import matplotlib.pyplot as plt
+
+        from .stability import row_stability_stats
+
+        if not self.directory or not os.path.isdir(self.directory):
+            return
+        from ..fitsio import fits_read
+
+        pat = re.compile(self.pattern)
+        by_sca = {}
+        for fn in sorted(os.listdir(self.directory)):
+            m = pat.search(fn)
+            if not m:
+                continue
+            img = np.asarray(fits_read(os.path.join(self.directory, fn))[0].data,
+                             dtype=np.float64)
+            by_sca.setdefault(m.group(2), []).append(np.median(img, axis=1))
+
+        lines = []
+        for sca, profiles in sorted(by_sca.items()):
+            rp = np.array(profiles)
+            stats = row_stability_stats(rp)
+            fig, axes = plt.subplots(2, 1, figsize=(8, 7), sharex=True)
+            axes[0].imshow(rp, aspect="auto", origin="lower",
+                           interpolation="nearest", cmap="RdBu_r")
+            axes[0].set_ylabel("exposure")
+            axes[0].set_title(f"SCA {sca}: row stability "
+                              f"(rms drift {stats['rms_drift']:.3e})")
+            rows = np.arange(rp.shape[1])
+            axes[1].plot(rows, stats["mean_profile"], lw=0.8)
+            axes[1].fill_between(rows,
+                                 stats["mean_profile"] - stats["std_profile"],
+                                 stats["mean_profile"] + stats["std_profile"],
+                                 alpha=0.4)
+            axes[1].set_xlabel("detector row")
+            fig.tight_layout()
+            self.figures.append(fig)
+            lines.append(f"{sca} {rp.shape[0]} {stats['rms_drift']:.6e} "
+                         f"{stats['max_drift']:.6e}")
+        if lines:
+            self.add_datablock("ROWSTABILITY",
+                               "sca n_exposures rms_drift max_drift\n"
+                               + "\n".join(lines))

@@ -151,6 +151,107 @@ def transpose_interpolate(image_A, wcs_A, image_B, original_image):
 
 
 # ---------------------------------------------------------------------------
+# effective gain and masks
+# ---------------------------------------------------------------------------
+
+def compute_g_eff(wcs_, shape):
+    """
+    Effective gain from the WCS Jacobian: 1 / (|det d(ra,dec)/d(x,y)| cos dec)
+    -- pixels covering less sky get more weight (reference Sca_img.__init__,
+    imdestripe.py:273-311; central differences on a 1-pixel-padded grid).
+    """
+    ny, nx = shape
+    yy, xx = np.mgrid[-1:ny + 1, -1:nx + 1].astype(np.float64)
+    ra, dec = wcs_.pix2world(xx.ravel(), yy.ravel())
+    ra = ra.reshape(ny + 2, nx + 2)
+    dec = dec.reshape(ny + 2, nx + 2)
+    dra_dx = (ra[1:-1, 2:] - ra[1:-1, :-2]) / 2
+    dra_dy = (ra[2:, 1:-1] - ra[:-2, 1:-1]) / 2
+    ddec_dx = (dec[1:-1, 2:] - dec[1:-1, :-2]) / 2
+    ddec_dy = (dec[2:, 1:-1] - dec[:-2, 1:-1]) / 2
+    det = dra_dx * ddec_dy - dra_dy * ddec_dx
+    return 1.0 / (np.abs(det) * np.cos(np.deg2rad(dec[1:-1, 1:-1])))
+
+
+def apply_object_mask(image, mask=None, threshold_m=0.0, threshold_c=0.3,
+                      inplace=False, type="fits"):
+    """
+    Bright-object mask: pixels above threshold_m*median + threshold_c,
+    dilated 5x5 (reference apply_object_mask, imdestripe.py:781-873).  The
+    'jwst' type uses robust sigma-clipped background estimation with
+    two-level seeded region growing.
+
+    Returns (masked image, boolean mask of MASKED pixels).
+    """
+    from scipy.ndimage import binary_dilation, binary_propagation
+
+    if mask is not None and isinstance(mask, np.ndarray):
+        neighbor_mask = mask
+    else:
+        if type == "jwst":
+            valid = np.isfinite(image)
+            if not np.any(valid):
+                neighbor_mask = np.zeros_like(image, dtype=bool)
+            else:
+                vals = image[valid]
+                for _ in range(3):
+                    bkg = np.median(vals)
+                    sigma = 1.4826 * np.median(np.abs(vals - bkg))
+                    if sigma <= 0:
+                        break
+                    keep = np.abs(vals - bkg) < 3.0 * sigma
+                    if np.count_nonzero(keep) < 100:
+                        break
+                    vals = vals[keep]
+                bkg = np.median(vals)
+                sigma = 1.4826 * np.median(np.abs(vals - bkg))
+                if not np.isfinite(sigma) or sigma <= 0:
+                    sigma = np.std(vals) if vals.size > 1 else 0.0
+                resid = np.where(valid, image - bkg, 0.0)
+                seed = valid & (resid >= max(threshold_c, 6.0 * sigma))
+                grow = valid & (resid >= max(0.5 * threshold_c, 2.5 * sigma))
+                grown = binary_propagation(seed, mask=grow)
+                neighbor_mask = binary_dilation(
+                    grown, structure=np.ones((3, 3), bool), iterations=2)
+        else:
+            high = image >= threshold_m * np.median(image) + threshold_c
+            neighbor_mask = binary_dilation(high, structure=np.ones((5, 5), bool))
+
+    if inplace:
+        image[neighbor_mask] = 0
+        return image, neighbor_mask
+    return np.where(neighbor_mask, 0, image), neighbor_mask
+
+
+def compute_boundary_continuity_penalty(destriped_image, mask, amp_cols,
+                                        col_boundary_const, chunk_width=50,
+                                        chunk_height=100):
+    """
+    Penalty for mean-level discontinuities of the destriped image across
+    amplifier column-block boundaries, accumulated over row chunks
+    (reference compute_boundary_continuity_penalty, imdestripe.py:1413-1490).
+    """
+    if not amp_cols or amp_cols <= 0 or col_boundary_const <= 0:
+        return 0.0
+    n_rows, n_cols = destriped_image.shape
+    n_blocks = n_cols // amp_cols
+    pen = 0.0
+    for b in range(1, n_blocks):
+        lo = max(b * amp_cols - chunk_width, 0)
+        hi = min(b * amp_cols + chunk_width, n_cols)
+        for c0 in range(0, n_rows, 4 * chunk_height):
+            c1 = min(c0 + chunk_height, n_rows)
+            lv = destriped_image[c0:c1, lo:b * amp_cols]
+            rv = destriped_image[c0:c1, b * amp_cols:hi]
+            lm = mask[c0:c1, lo:b * amp_cols]
+            rm = mask[c0:c1, b * amp_cols:hi]
+            if not (np.any(lm) and np.any(rm)):
+                continue
+            pen += (np.mean(lv[lm]) - np.mean(rv[rm])) ** 2
+    return col_boundary_const * pen
+
+
+# ---------------------------------------------------------------------------
 # stripe parameter model
 # ---------------------------------------------------------------------------
 
@@ -209,15 +310,68 @@ def penalty(r: np.ndarray, model: str, hub: float = 1.0):
 # ---------------------------------------------------------------------------
 
 class Sca_img:
-    """One exposure: image, WCS, effective gain, and current stripe params."""
+    """One exposure: image, WCS, effective gain, mask, and stripe params."""
 
-    def __init__(self, image, wcs, g_eff=None, name=""):
+    def __init__(self, image, wcs, g_eff=None, name="", mask=None):
         self.image = np.asarray(image, dtype=np.float64)
         self.w = wcs
         self.name = name
         if g_eff is None:
             g_eff = np.ones_like(self.image)
         self.g_eff = np.asarray(g_eff, dtype=np.float64)
+        self.mask = (np.ones(self.image.shape, dtype=bool) if mask is None
+                     else np.asarray(mask, dtype=bool))
+
+    @classmethod
+    def from_file(cls, path, cfg=None, name="", indata_type="fits",
+                  add_objmask=True, use_wcs_gain=True, obsid=None, scaid=None):
+        """
+        Load one destriping input (reference Sca_img.__init__,
+        imdestripe.py:210-330): FITS (WCS-bearing HDU) or Roman L2 ASDF;
+        effective gain from the WCS Jacobian (or a GAINDIR flat); optional
+        lab-noise frame (DSNOISEFILE) and bright-object mask.
+        """
+        if indata_type == "asdf" or path.endswith(".asdf"):
+            from .asdfio import GWCS, asdf_read
+
+            tree = asdf_read(path)
+            w = GWCS(tree["roman"]["meta"]["wcs"])
+            image = np.asarray(tree["roman"]["data"], dtype=np.float64)
+        else:
+            hdus = fits_read(path)
+            hdr = None
+            for h in hdus:
+                if "CTYPE1" in h.header:
+                    hdr = h.header
+                    break
+            w = WCS.from_header(hdr)
+            data_hdu = hdus["SCI"] if indata_type == "jwst" else hdus[0]
+            image = np.asarray(data_hdu.data, dtype=np.float64)
+
+        gaindir = getattr(cfg, "gaindir", False) if cfg is not None else False
+        if gaindir:
+            gf = fits_read(f"{gaindir}/{Stn.RomanFilters[cfg.use_filter]}_geff.fits")
+            g_eff = np.asarray(gf[int(scaid) - 1].data, dtype=np.float64)
+        elif use_wcs_gain:
+            g_eff = compute_g_eff(w, image.shape)
+        else:
+            g_eff = None
+
+        # optional lab-noise frame (reference apply_noise, imdestripe.py:359)
+        noisefile = getattr(cfg, "ds_noisefile", False) if cfg is not None else False
+        if noisefile and obsid is not None:
+            nf = fits_read(f"{noisefile}{obsid}_{scaid}.fits")
+            frame = np.asarray(nf[0].data, dtype=np.float64) * 1.458 * 50
+            ny, nx = image.shape
+            image = image + frame[4:ny + 4, 4:nx + 4]
+
+        mask = np.ones(image.shape, dtype=bool)
+        if add_objmask:
+            thr = (15.0, 5.0) if indata_type == "jwst" else (0.0, 0.3)
+            _, obj = apply_object_mask(image, threshold_m=thr[0],
+                                       threshold_c=thr[1], type=indata_type)
+            mask &= ~obj
+        return cls(image, w, g_eff=g_eff, name=name, mask=mask)
 
     def destriped(self, params, amp_cols=None):
         return self.image - forward_par(params, self.image.shape, amp_cols)
@@ -239,12 +393,13 @@ class DestripeProblem:
     """
 
     def __init__(self, scas, neighbors, cost_model="quadratic", hub_thresh=1.0,
-                 amp_cols=None, mask=None):
+                 amp_cols=None, mask=None, col_boundary_const=0.0):
         self.scas = scas
         self.neighbors = neighbors
         self.cost_model = cost_model
         self.hub = hub_thresh
         self.amp_cols = amp_cols
+        self.col_boundary_const = col_boundary_const or 0.0
         self.npar_each = [n_params(s.image.shape, amp_cols) for s in scas]
         self.offsets = np.concatenate([[0], np.cumsum(self.npar_each)])
         self.mask = mask  # optional list of bool arrays (True = use pixel)
@@ -293,6 +448,11 @@ class DestripeProblem:
                 r = np.where(self.mask[i], r, 0.0)
             f, _ = penalty(r, self.cost_model, self.hub)
             eps += float(np.sum(f))
+            if self.amp_cols and self.col_boundary_const > 0:
+                m = self.mask[i] if self.mask is not None \
+                    else self.scas[i].mask
+                eps += compute_boundary_continuity_penalty(
+                    imgs[i], m, self.amp_cols, self.col_boundary_const)
         return eps
 
     def gradient(self, params) -> np.ndarray:
@@ -345,16 +505,99 @@ class DestripeProblem:
 # nonlinear conjugate gradient with checkpoint/restart
 # ---------------------------------------------------------------------------
 
+def linear_search_quadratic(problem, params, d, g):
+    """
+    Exact line search for the quadratic cost: the gradient is affine in the
+    step, so one trial gradient determines the minimizer
+    (reference linear_search_quadratic, imdestripe.py:1882-1997):
+
+        alpha* = alpha_max (-d.g) / (d.(g(alpha_max) - g)).
+    """
+    eta = 0.1
+    a_test = -eta * float(np.dot(g, d)) / (float(np.dot(d, d)) + 1e-12)
+    a_max = 1.0 if a_test <= 0 else a_test * 10
+    g_trial = problem.gradient(params + a_max * d)
+    denom = float(np.dot(d, g_trial - g)) + 1e-12
+    alpha = a_max * (-float(np.dot(d, g))) / denom
+    g_new = g + (alpha / a_max) * (g_trial - g)
+    return params + alpha * d, g_new, alpha
+
+
+def linear_search_general(problem, params, d, g, n_iter: int = 100,
+                          rel_tol: float = 1e-3):
+    """
+    Bisection + secant root find of d_cost(alpha) = g(alpha).d for
+    non-quadratic costs (reference linear_search_general,
+    imdestripe.py:1673-1880).
+    """
+    eta = 0.1
+    d_cost0 = float(np.dot(g, d))
+    d_cost_tol = abs(d_cost0) * rel_tol
+    a_test = -eta * d_cost0 / (float(np.dot(d, d)) + 1e-12)
+    if a_test <= 0:
+        a_min, a_max = -0.9, 1.0
+    else:
+        a_min, a_max = a_test * 1e-4, a_test * 10
+
+    def d_cost(a):
+        return float(np.dot(problem.gradient(params + a * d), d))
+
+    f_min = d_cost(a_min)
+    f_max = d_cost(a_max)
+    # grow the bracket if the root is not enclosed
+    grow = 0
+    while f_min * f_max > 0 and grow < 8:
+        a_max *= 4.0
+        f_max = d_cost(a_max)
+        grow += 1
+
+    a = 0.5 * (a_min + a_max)
+    method = "bisection"
+    for _ in range(n_iter):
+        fa = d_cost(a)
+        if abs(fa) < d_cost_tol:
+            break
+        # secant proposal from the bracket endpoints
+        if abs(f_max - f_min) > 1e-300:
+            a_sec = a_max - f_max * (a_max - a_min) / (f_max - f_min)
+        else:
+            a_sec = a
+        if f_min * fa <= 0:
+            a_max, f_max = a, fa
+        else:
+            a_min, f_min = a, fa
+        if a_min < a_sec < a_max:
+            a, method = a_sec, "secant"
+        else:
+            a, method = 0.5 * (a_min + a_max), "bisection"
+        if a_max - a_min < 1e-14 * max(1.0, abs(a)):
+            break
+    new_params = params + a * d
+    return new_params, problem.gradient(new_params), a
+
+
+_CSV_HEADER = ["iteration", "norm", "convergence_rate", "step_size",
+               "gradient_magnitude", "d_cost", "cost", "iter_minutes",
+               "ls_minutes", "mse", "parameter_change"]
+
+
 def conjugate_gradient(problem: DestripeProblem, params0=None, maxiter: int = 30,
                        tol: float = 1e-8, beta_model: str = "PR",
                        restart_file: str = None, time_limit: float = None,
-                       log=print):
+                       log=print, csv_file: str = None):
     """
-    Minimize the destriping cost.  Supports Fletcher-Reeves ('FR') and
-    Polak-Ribiere ('PR') beta updates, an exact quadratic line search (3-point
-    parabola; exact for the quadratic cost model), pickle checkpoint/restart,
-    and a wall-time watchdog (reference imdestripe.py:1999-2294).
+    Minimize the destriping cost with nonlinear conjugate gradient.
+
+    Beta updates: 'FR' (Fletcher-Reeves), 'PR' (Polak-Ribiere with restart),
+    'HS' (Hestenes-Stiefel), 'DY' (Dai-Yuan) -- reference
+    imdestripe.py:2147-2162.  The line search is the one-gradient exact
+    solve for the quadratic cost and bisection+secant otherwise
+    (reference :1673-1997).  Supports pickle checkpoint/restart, a wall-time
+    watchdog, and the per-iteration cg_log.csv (reference :2093-2109,
+    2228-2244).
     """
+    import csv
+
     t_start = time.time()
     ntot = problem.offsets[-1]
     params = np.zeros(ntot) if params0 is None else np.array(params0, dtype=np.float64)
@@ -374,40 +617,55 @@ def conjugate_gradient(problem: DestripeProblem, params0=None, maxiter: int = 30
         g = problem.gradient(params)
         d = -g
 
+    if csv_file and it0 == 0:
+        with open(csv_file, "w", newline="") as f:
+            csv.writer(f).writerow(_CSV_HEADER)
+
     history = []
     for it in range(it0, maxiter):
+        t_iter = time.time()
         gnorm = float(np.dot(g, g))
         if np.sqrt(gnorm) < tol:
             log(f"CG converged at iteration {it}: |g| = {np.sqrt(gnorm):.3e}")
             break
 
-        # exact quadratic line search: fit a parabola through 3 cost samples
-        e0 = problem.cost(params)
-        scale = 1.0 / max(np.max(np.abs(d)), 1e-30)
-        t1 = scale
-        e1 = problem.cost(params + t1 * d)
-        e2 = problem.cost(params + 2 * t1 * d)
-        denom = e0 - 2 * e1 + e2
-        tstar = t1 * (0.5 if abs(denom) < 1e-300 else
-                      np.clip((3 * e0 - 4 * e1 + e2) / (4 * denom) * 2, -10, 10))
-        # fall back to the best sampled point if the parabola is degenerate
-        if not np.isfinite(tstar) or problem.cost(params + tstar * d) > min(e0, e1, e2):
-            tstar = [0.0, t1, 2 * t1][int(np.argmin([e0, e1, e2]))]
-        params = params + tstar * d
+        t_ls = time.time()
+        if problem.cost_model in (None, "quadratic") \
+                and not (problem.amp_cols and problem.col_boundary_const > 0):
+            new_params, g_new, tstar = linear_search_quadratic(problem, params, d, g)
+        else:
+            new_params, g_new, tstar = linear_search_general(problem, params, d, g)
+        ls_min = (time.time() - t_ls) / 60.0
+        step_size = float(np.linalg.norm(new_params - params))
+        params = new_params
 
-        g_new = problem.gradient(params)
         if beta_model == "FR":
             beta = float(np.dot(g_new, g_new) / max(gnorm, 1e-300))
-        else:  # PR with restart
-            beta = float(np.dot(g_new, g_new - g) / max(gnorm, 1e-300))
-            beta = max(beta, 0.0)
+        elif beta_model == "PR":
+            beta = max(0.0, float(np.dot(g_new, g_new - g) / max(gnorm, 1e-300)))
+        elif beta_model == "HS":
+            beta = float(np.dot(g_new, g_new - g)
+                         / (np.dot(-d, g_new - g) + 1e-300))
+        elif beta_model == "DY":
+            beta = float(np.dot(g_new, g_new)
+                         / (np.dot(-d, g_new - g) + 1e-300))
+        else:
+            raise ValueError(f"Unknown method for CG direction update: {beta_model}")
         d = -g_new + beta * d
+        conv_rate = (np.sqrt(gnorm) - np.linalg.norm(g_new)) / max(np.sqrt(gnorm), 1e-300)
         g = g_new
         e_now = problem.cost(params)
         history.append({"iteration": it, "cost": e_now, "gnorm": np.sqrt(gnorm),
                         "step": tstar, "beta": beta, "t": time.time() - t_start})
         log(f"CG iter {it}: cost = {e_now:.6e}  |g| = {np.sqrt(gnorm):.3e} "
             f"step = {tstar:.3e} beta = {beta:.3f}")
+        if csv_file:
+            with open(csv_file, "a", newline="") as f:
+                csv.writer(f).writerow(
+                    [it + 1, np.sqrt(gnorm), conv_rate, step_size,
+                     float(np.linalg.norm(g)), float(np.dot(g, d)), e_now,
+                     (time.time() - t_iter) / 60.0, ls_min,
+                     float(np.mean(g ** 2)), step_size])
 
         if restart_file:
             with open(restart_file + ".tmp", "wb") as f:
@@ -425,8 +683,13 @@ def conjugate_gradient(problem: DestripeProblem, params0=None, maxiter: int = 30
 # driver
 # ---------------------------------------------------------------------------
 
-def get_scas(cfg):
-    """Load destriping input SCAs named by DSOBSFILE glob (FITS only)."""
+def get_scas(cfg, indata_type=None, add_objmask=True, use_wcs_gain=True):
+    """
+    Load destriping input SCAs named by the DSOBSFILE glob (FITS or Roman
+    L2 ASDF; reference get_scas, imdestripe.py:905-969) with effective gain
+    from the WCS Jacobian, optional GAINDIR flats, DSNOISEFILE noise frames,
+    and bright-object masks.
+    """
     scas = []
     names = []
     pattern = cfg.ds_obsfile
@@ -434,42 +697,59 @@ def get_scas(cfg):
         m = re.search(r"(\w\d+)_(\d+)_(\d+)", os.path.basename(f))
         if not m:
             continue
-        hdus = fits_read(f)
-        hdr = None
-        for h in hdus:
-            if "CTYPE1" in h.header:
-                hdr = h.header
-                break
-        w = WCS.from_header(hdr)
-        scas.append(Sca_img(np.asarray(hdus[0].data, dtype=np.float64), w,
-                            name=m.group(0)))
+        itype = indata_type or ("asdf" if f.endswith(".asdf") else "fits")
+        scas.append(Sca_img.from_file(
+            f, cfg=cfg, name=m.group(0), indata_type=itype,
+            add_objmask=add_objmask, use_wcs_gain=use_wcs_gain,
+            obsid=m.group(2), scaid=m.group(3)))
         names.append(m.group(0))
     return scas, names
 
 
-def main(cfg: Config, maxiter=None, out_path=None):
+def main(cfg: Config, maxiter=None, out_path=None, indata_type=None,
+         add_objmask=True, use_wcs_gain=True, nworkers=None):
     """
-    Full destriping run from a configuration: find overlaps, fit stripe
-    parameters, write destriped FITS triplets (DS image, original, params).
+    Full destriping run from a configuration (reference main,
+    imdestripe.py:2295-2438): find overlaps (cached ovmat.npy), fit stripe
+    parameters with nonlinear CG + per-iteration cg_log.csv, write destriped
+    FITS triplets (DS image, original, params).
     """
-    scas, names = get_scas(cfg)
+    scas, names = get_scas(cfg, indata_type=indata_type,
+                           add_objmask=add_objmask, use_wcs_gain=use_wcs_gain)
     if len(scas) < 2:
         raise RuntimeError("destriping needs at least two overlapping exposures")
-    ov = compareutils.get_overlap_matrix([s.w for s in scas], subsamp=16,
-                                         nside=scas[0].image.shape[-1])
-    neighbors = {i: [j for j in range(len(scas)) if j != i and ov[i, j] > 0.1]
-                 for i in range(len(scas))}
-
-    problem = DestripeProblem(scas, neighbors, cost_model=cfg.cost_model or "quadratic",
-                              hub_thresh=cfg.hub_thresh or 1.0,
-                              amp_cols=cfg.amp_cols)
-    params, history = conjugate_gradient(
-        problem, maxiter=maxiter or (cfg.cg_maxiter or 10),
-        tol=cfg.cg_tol or 1e-8,
-        restart_file=(cfg.ds_restart or None))
 
     outdir = out_path or cfg.ds_outpath or "."
     os.makedirs(outdir, exist_ok=True)
+
+    # overlap matrix, cached on disk (reference imdestripe.py:2369-2377)
+    ovfile = os.path.join(outdir, "ovmat.npy")
+    if os.path.exists(ovfile):
+        ov = np.load(ovfile)
+        if ov.shape != (len(scas), len(scas)):
+            ov = None
+    else:
+        ov = None
+    if ov is None:
+        ov = compareutils.get_overlap_matrix([s.w for s in scas], subsamp=16,
+                                             nside=scas[0].image.shape[-1])
+        np.save(ovfile, ov)
+    neighbors = {i: [j for j in range(len(scas)) if j != i and ov[i, j] > 0.1]
+                 for i in range(len(scas))}
+
+    problem = DestripeProblem(
+        scas, neighbors, cost_model=cfg.cost_model or "quadratic",
+        hub_thresh=cfg.hub_thresh or 1.0, amp_cols=cfg.amp_cols,
+        mask=[s.mask for s in scas] if add_objmask else None,
+        col_boundary_const=getattr(cfg, "col_boundary_const", 0.0))
+    params, history = conjugate_gradient(
+        problem, maxiter=maxiter or (cfg.cg_maxiter or 10),
+        tol=cfg.cg_tol or 1e-8,
+        beta_model=getattr(cfg, "cg_model", None) or "PR",
+        restart_file=(cfg.ds_restart or None),
+        time_limit=getattr(cfg, "ds_time_limit", None),
+        csv_file=os.path.join(outdir, "cg_log.csv"))
+
     ps = problem.split(params)
     for s, p, name in zip(scas, ps, names):
         hdr = Header(s.w.to_header())
@@ -480,3 +760,36 @@ def main(cfg: Config, maxiter=None, out_path=None):
         ])
         fits_write(os.path.join(outdir, f"{cfg.ds_outstem or 'ds'}_{name}.fits"), hdus)
     return params, history
+
+
+def _profiled_main(cfgfile):
+    """CLI entry with cProfile + peak-memory reporting (reference
+    imdestripe.__main__, imdestripe.py:2440-2457; memory_profiler is not in
+    this environment, so peak RSS comes from resource.getrusage)."""
+    import cProfile
+    import pstats
+    import resource
+
+    cfg = Config(cfgfile)
+    outdir = cfg.ds_outpath or "."
+    os.makedirs(outdir, exist_ok=True)
+    prof = cProfile.Profile()
+    prof.enable()
+    try:
+        main(cfg)
+    finally:
+        prof.disable()
+        with open(os.path.join(outdir, "profile_results.txt"), "w") as f:
+            pstats.Stats(prof, stream=f).sort_stats("cumulative").print_stats(60)
+        peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        with open(os.path.join(outdir, "memory_profile_results.txt"), "w") as f:
+            f.write(f"peak RSS: {peak_mb:.1f} MB\n")
+        print(f"imdestripe: peak RSS {peak_mb:.1f} MB; profile written to "
+              f"{outdir}/profile_results.txt", flush=True)
+
+
+if __name__ == "__main__":
+    # python -m pyimcom_tpu.imdestripe <config.json>
+    import sys
+
+    _profiled_main(sys.argv[1])

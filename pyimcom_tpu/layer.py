@@ -25,6 +25,7 @@ realizations are reproducible across processes.
 
 from __future__ import annotations
 
+import functools
 import os
 import re
 import sys
@@ -299,9 +300,38 @@ def galaxy_ft(u, v, profile_n: float, hlr_arcsec: float, M_sky: np.ndarray,
     if abs(profile_n - 1.0) < 1e-12:
         r0 = hlr_arcsec / 1.678346990
         return (1.0 + k2 * r0 ** 2) ** -1.5
-    raise NotImplementedError(
-        f"analytic profile for Sersic n={profile_n} not implemented "
-        "(n=0.5 Gaussian and n=1 exponential are supported)")
+    # general Sersic index: radially symmetric profile -> Hankel-transform
+    # table (unit flux, Re = 1), evaluated at k*Re
+    kq = np.sqrt(k2) * hlr_arcsec
+    ktab, Ftab = _sersic_ft_table(round(float(profile_n), 4))
+    return np.interp(np.clip(kq, 0, ktab[-1]), ktab, Ftab)
+
+
+@functools.lru_cache(maxsize=16)
+def _sersic_ft_table(n: float, kmax: float = 400.0, nk: int = 4096):
+    """
+    Hankel transform F(k) = 2 pi int I(r) J0(k r) r dr of a unit-flux
+    Sersic-n profile with half-light radius Re = 1, tabulated on
+    k in [0, kmax] (k in radians per Re).  The reference delegates general
+    n to GalSim's Sersic class; this is the GalSim-free equivalent for the
+    gsext injection layers.
+    """
+    from scipy.special import gammaincinv, j0
+
+    b = float(gammaincinv(2 * n, 0.5))
+    # log-spaced radial grid covering the extended Sersic wings
+    r = np.geomspace(1e-5, 60.0 * max(1.0, n), 6000)
+    prof = np.exp(-b * (r ** (1.0 / n)))
+    w = prof * r
+    k = np.linspace(0.0, kmax, nk)
+    # trapezoid weights on the log grid
+    dr = np.empty_like(r)
+    dr[1:-1] = 0.5 * (r[2:] - r[:-2])
+    dr[0] = 0.5 * (r[1] - r[0])
+    dr[-1] = 0.5 * (r[-1] - r[-2])
+    base = w * dr
+    F = np.array([np.sum(base * j0(kk * r)) for kk in k])
+    return k, F / F[0]
 
 
 def parse_gsext_args(arglist):

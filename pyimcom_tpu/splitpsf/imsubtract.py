@@ -42,9 +42,13 @@ def fftconvolve_multi(canvas: np.ndarray, kernels: np.ndarray,
         full = jnp.fft.irfft2(cf[None] * kf, s=(ny, nx))
         out = np.asarray(full[:, my - 1:my - 1 + oy, mx - 1:mx - 1 + ox])
     else:
-        cf = np.fft.rfft2(canvas, s=(ny, nx))
-        kf = np.fft.rfft2(kernels, s=(ny, nx))
-        full = np.fft.irfft2(cf[None] * kf, s=(ny, nx))
+        # threaded host FFTs (reference imsubtract.py:108-124 worker control)
+        import scipy.fft as sfft
+
+        nw = fft_workers()
+        cf = sfft.rfft2(canvas, s=(ny, nx), workers=nw)
+        kf = sfft.rfft2(kernels, s=(ny, nx), workers=nw)
+        full = sfft.irfft2(cf[None] * kf, s=(ny, nx), workers=nw)
         out = full[:, my - 1:my - 1 + oy, mx - 1:mx - 1 + ox]
     return out
 
@@ -143,7 +147,8 @@ def _interp_scattered(image2d, qx, qy, kern="G4460"):
 
 
 def build_wing_canvas(exposure_wcs, block_reader, nblock: int, overlap: int,
-                      x_canvas: np.ndarray, layer: int) -> np.ndarray:
+                      x_canvas: np.ndarray, layer: int,
+                      out: np.ndarray = None) -> np.ndarray:
     """
     Stitch the Tukey-windowed mosaic blocks of one layer onto the exposure's
     oversampled canvas (reference imsubtract.py:493-686).
@@ -159,7 +164,11 @@ def build_wing_canvas(exposure_wcs, block_reader, nblock: int, overlap: int,
     from ..wcsutil import get_pix_area
 
     A = len(x_canvas)
-    H = np.zeros((A, A))
+    if out is not None:
+        H = out
+        H[:] = 0.0
+    else:
+        H = np.zeros((A, A))
     gx, gy = np.meshgrid(x_canvas, x_canvas)   # (A, A); gx varies along x
     ra, dec = exposure_wcs.pix2world(gx.ravel(), gy.ravel())
 
@@ -190,7 +199,8 @@ def build_wing_canvas(exposure_wcs, block_reader, nblock: int, overlap: int,
 
 def subtract_wings_blockwise(cube, exposure_wcs, K_cube, oversamp: int,
                              nblock: int, overlap: int, block_reader,
-                             porder: int = None, max_layers: int = None):
+                             porder: int = None, max_layers: int = None,
+                             use_memmap: bool = False):
     """
     Subtract K (*) (stitched mosaic) from every layer of one exposure cube.
 
@@ -214,9 +224,19 @@ def subtract_wings_blockwise(cube, exposure_wcs, K_cube, oversamp: int,
     lvals = np.stack([leg.basis(l)(u_canvas) for l in range(Nl)])
 
     nrun = nlayer if max_layers is None else min(nlayer, max_layers)
+    canvas_mm = None
+    if use_memmap:
+        # memmapped canvas scratch (reference imsubtract.py:463-474): bounds
+        # peak RAM for production 4088-px exposures at 8x oversampling
+        import tempfile
+
+        tmpd = os.environ.get("TMPDIR", tempfile.gettempdir())
+        canvas_mm = np.memmap(os.path.join(
+            tmpd, f"imsub_canvas_{os.getpid()}.dat"), dtype=np.float64,
+            mode="w+", shape=(A, A))
     for n in range(nrun):
         H = build_wing_canvas(exposure_wcs, block_reader, nblock, overlap,
-                              x_canvas, n)
+                              x_canvas, n, out=canvas_mm)
         # Legendre-weighted canvases share one convolution sweep
         arrs = np.stack([H * lvals[lv][:, None] * lvals[lu][None, :]
                          for lv in range(Nl) for lu in range(Nl)])
@@ -245,8 +265,63 @@ def _default_block_reader(outstem: str):
     return reader
 
 
+def reinterp(arr):
+    """
+    2x2 bin an oversampled kernel without growing the pixel tophat:
+    interpolate arr[1:-1, 1:-1] onto a grid at double the spacing
+    (reference imsubtract.py:241-262; the separable [-1/8, 9/8, 9/8, -1/8]
+    filter is the cubic-interpolation midpoint stencil).
+    """
+    import scipy.signal
+
+    _f = np.array([-0.125, 1.125, 1.125, -0.125], dtype=np.float64)
+    f2d = np.outer(_f, _f)
+    return scipy.signal.convolve(arr, f2d, mode="valid", method="direct")[::2, ::2]
+
+
+def bin_kernel_2x2(K: np.ndarray, oversamp: int):
+    """
+    Downsample a Legendre wing-kernel cube to half the oversampling
+    (reference imsubtract.py:360-384; PSFSPLIT[3] = bin2x2).  Returns
+    (K_binned, oversamp // 2).
+    """
+    ncoeff, axis_num = K.shape[0], K.shape[1]
+    if oversamp % 2:
+        raise ValueError(f"oversamp={oversamp:d} is odd, not consistent with bin2x2")
+    oversamp //= 2
+    axis_num //= 2
+    if oversamp % 2 and not (axis_num // oversamp) % 2:
+        # trim 1 native pixel so axis_num / oversamp is odd
+        axis_num -= oversamp
+        K = K[:, oversamp - 1:1 - oversamp, oversamp - 1:1 - oversamp]
+    else:
+        K = np.pad(K, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    out = None
+    for j in range(ncoeff):
+        Ks = reinterp(K[j])
+        if out is None:
+            out = np.zeros((ncoeff,) + Ks.shape, dtype=np.float64)
+        out[j] = Ks
+    return out, oversamp
+
+
+def fft_workers() -> int:
+    """Threaded-FFT worker count (reference imsubtract.py:108-124:
+    scipy.fft workers from SLURM_CPUS_PER_TASK / OMP_NUM_THREADS)."""
+    for var in ("PYIMCOM_FFT_WORKERS", "SLURM_CPUS_PER_TASK",
+                "OMP_NUM_THREADS"):
+        val = os.environ.get(var)
+        if val:
+            try:
+                return max(1, int(val))
+            except ValueError:
+                pass
+    return 1
+
+
 def run_imsubtract(cfg, idsca, split_file: str, out_file: str = None,
-                   oversamp: int = None, max_layers: int = None) -> str:
+                   oversamp: int = None, max_layers: int = None,
+                   bin2x2: bool = None, use_memmap: bool = False) -> str:
     """
     Wing-subtract one cached exposure and write `*_subI.fits`
     (reference imsubtract.py:265-729).
@@ -270,11 +345,18 @@ def run_imsubtract(cfg, idsca, split_file: str, out_file: str = None,
     K_cube = np.asarray(sf[kerskip + sca].data, dtype=np.float64)
     if oversamp is None:
         oversamp = int(sf[0].header.get("OVSAMP", 1))
+    if bin2x2 is None:
+        bin2x2 = bool(getattr(cfg, "psfsplit_bin2x2", False))
+    if bin2x2:
+        # halve the kernel oversampling: 4x fewer canvas samples and ~4x
+        # cheaper convolutions at slightly reduced wing resolution
+        K_cube, oversamp = bin_kernel_2x2(K_cube, oversamp)
 
     overlap = cfg.n2 * cfg.postage_pad
     reader = _default_block_reader(cfg.outstem)
     out = subtract_wings_blockwise(cube, wcs_, K_cube, oversamp, cfg.nblock,
-                                   overlap, reader, max_layers=max_layers)
+                                   overlap, reader, max_layers=max_layers,
+                                   use_memmap=use_memmap)
 
     if out_file is None:
         out_file = cfg.inlayercache + f"_{obsid:08d}_{sca:02d}_subI.fits"
@@ -304,3 +386,44 @@ def run_imsubtract_all(cfg, idscas, split_file: str, nworkers: int = None,
                     for idsca in idscas]
             return [fu.result() for fu in futs]
     return [run_imsubtract(cfg, idsca, split_file, **kw) for idsca in idscas]
+
+
+def main(cfgfile, sca: int, nworkers: int = None):
+    """
+    Wing-subtract every cached exposure using the given SCA (reference
+    job-array entry ``python -m pyimcom.splitpsf.imsubtract cfg sca``,
+    imsubtract.py:265 / imsubtract_wrapper.py:12).
+
+    The split-PSF file for observation `obsid` is
+    INLAYERCACHE.psf/psf_{obsid}.fits (written by splitpsf.main); exposures
+    are discovered from the input-layer cache.
+    """
+    import glob
+    import re
+
+    from ..config import Config
+
+    cfg = cfgfile if hasattr(cfgfile, "inlayercache") else Config(cfgfile)
+    pat = re.compile(r"_(\d{8})_(\d{2})\.fits$")
+    idscas = []
+    for path in sorted(glob.glob(cfg.inlayercache + "_*_*.fits")):
+        mm = pat.search(path)
+        if mm and int(mm.group(2)) == sca:
+            idscas.append((int(mm.group(1)), sca))
+    done = []
+    for idsca in idscas:
+        split_file = cfg.inlayercache + f".psf/psf_{idsca[0]:d}.fits"
+        if not os.path.exists(split_file):
+            print(f"imsubtract: no split PSF for obsid {idsca[0]}, skipping",
+                  flush=True)
+            continue
+        done.append(run_imsubtract(cfg, idsca, split_file))
+        print("imsubtract: wrote", done[-1], flush=True)
+    return done
+
+
+if __name__ == "__main__":
+    # python -m pyimcom_tpu.splitpsf.imsubtract <config.json> <sca>
+    import sys
+
+    main(sys.argv[1], int(sys.argv[2]))

@@ -162,30 +162,171 @@ class SplitPSF:
         self.K_Legendre *= lnorm[:, None, None]
 
 
-def split_psf_to_fits(psf_file, wcs_list, pars, outfile):
+def _load_sca_wcs(path):
+    """WCS for one SCA image file (FITS SCI header or Roman L2 ASDF)."""
+    from ..wcsutil import WCS
+
+    if path.endswith(".asdf"):
+        from ..asdfio import GWCS, asdf_read
+
+        tree = asdf_read(path)
+        return GWCS(tree["roman"]["meta"]["wcs"])
+    f = fits_read(path)
+    for h in f:
+        if "CTYPE1" in h.header:
+            return WCS.from_header(h.header)
+    raise RuntimeError(f"no WCS in {path}")
+
+
+def split_psf_to_fits(psf_file, wcs_src, pars, outfile):
     """
-    Split every SCA's PSF cube in a PSF file and write the combined output:
-    HDUs [1..nsca] = short-range cubes, [nsca+1..2nsca] = K kernels; the
-    primary header records GSSKIP/KERSKIP offsets (reference
-    splitpsf.py:287-397 layout).
+    Split every SCA's PSF cube in a PSF file and write the combined output
+    in the reference layout (reference split_psf_to_fits,
+    splitpsf.py:287-397):
+
+    HDU 0           : primary; GSSKIP = nsca, KERSKIP = 2*nsca,
+                      ZETASKIP = 3*nsca when pars['SAVEZETA'], global
+                      MAXZETA, INWCSxx provenance.
+    HDUs 1..nsca    : the original PSF cubes (copied through).
+    nsca+1..2*nsca  : short-range cubes G^S (IMTYPE/SCA headers).
+    2*nsca+1..3*nsca: wing kernels K (TRUEWCS/MAXZETA/KINT/K2INT headers).
+    3*nsca+1..      : zeta residual cubes (only when SAVEZETA).
+
+    wcs_src : None (ignore distortion), a list of per-SCA WCS objects, or a
+    format string resolving wcs_src.format(sca) to an image file whose WCS
+    is loaded (the reference's wcs_format contract); missing files fall
+    back to None.
     """
     hdus_in = fits_read(psf_file)
-    nsca = len(hdus_in) - 1
-    out = [ImageHDU(None)]
-    kerns = []
+    prim = ImageHDU(None)
+    for key in ["CFORMAT", "PORDER", "ABSCISSA", "NCOEF", "SEQ", "OBSID",
+                "NSCA", "OVSAMP", "SIMRUN"]:
+        if key in hdus_in[0].header:
+            prim.header[key] = hdus_in[0].header[key]
+    nsca = int(hdus_in[0].header.get("NSCA", len(hdus_in) - 1))
+    prim.header["FROMFILE"] = str(psf_file)
+    prim.header["NSCA"] = nsca
+    prim.header["GSSKIP"] = nsca
+    prim.header["KERSKIP"] = 2 * nsca
+    savezeta = bool(pars.get("SAVEZETA", False))
+    if savezeta:
+        prim.header["ZETASKIP"] = 3 * nsca
+    prim.header["SAVEZETA"] = savezeta
+
+    originals, shortranges, kerns, zetas = [], [], [], []
+    zetamax = np.zeros(nsca)
     for isca in range(1, nsca + 1):
+        if wcs_src is None:
+            wcs_ = None
+        elif isinstance(wcs_src, str):
+            try:
+                wcs_ = _load_sca_wcs(wcs_src.format(isca))
+                prim.header[f"INWCS{isca:02d}"] = wcs_src.format(isca)
+            except (RuntimeError, FileNotFoundError, OSError):
+                prim.header[f"INWCS{isca:02d}"] = "/dev/null"
+                wcs_ = None
+        else:
+            wcs_ = wcs_src[isca - 1]
         cube = np.asarray(hdus_in[isca].data, dtype=np.float64)
-        wcs_ = wcs_list[isca - 1] if wcs_list is not None else None
         sp = SplitPSF(cube, wcs_, pars)
         sp.build()
-        out.append(ImageHDU(sp.smallpsf.astype(np.float32)))
-        kerns.append(ImageHDU(sp.K_Legendre.astype(np.float32)))
-    hdr = Header()
-    hdr["GSSKIP"] = 0
-    hdr["KERSKIP"] = nsca
-    out[0].header = hdr
-    fits_write(outfile, HDUList(out + kerns))
+
+        originals.append(ImageHDU(cube.astype(np.float32)))
+        x = ImageHDU(sp.smallpsf.astype(np.float32))
+        x.header["IMTYPE"] = "Short range PSF"
+        x.header["SCA"] = isca
+        shortranges.append(x)
+
+        y = ImageHDU(sp.K_Legendre.astype(np.float32))
+        y.header["IMTYPE"] = "Kernel K"
+        y.header["SCA"] = isca
+        y.header["TRUEWCS"] = wcs_ is not None
+        zetamax[isca - 1] = float(np.amax(np.abs(sp.zeta_real)))
+        y.header["MAXZETA"] = zetamax[isca - 1]
+        y.header["KINT"] = float(np.sum(sp.K_Legendre[0]) / sp.oversamp ** 2)
+        y.header["K2INT"] = float(np.sum(sp.K_Legendre[0] ** 2)
+                                  / sp.oversamp ** 2)
+        kerns.append(y)
+
+        if savezeta:
+            z = ImageHDU(sp.zeta_real.astype(np.float32))
+            z.header["IMTYPE"] = "zeta"
+            z.header["SCA"] = isca
+            zetas.append(z)
+
+    prim.header["MAXZETA"] = float(np.amax(zetamax))
+    fits_write(outfile, HDUList([prim] + originals + shortranges + kerns
+                                + zetas))
     return outfile
+
+
+def main(cfgfile, savezeta: bool = False):
+    """
+    Config-driven PSF splitting (reference splitpsf.main, splitpsf.py:400-
+    489): split every in-filter observation's PSF file into
+    INLAYERCACHE.psf/psf_{obsid}.fits.
+    """
+    import json
+    import os
+    import sys
+
+    from ..coadd import InImage
+    from ..layer import get_sca_imagefile
+
+    if hasattr(cfgfile, "to_dict"):
+        cfg_dict = cfgfile.to_dict()
+    else:
+        with open(cfgfile) as f:
+            cfg_dict = json.load(f)
+
+    if not cfg_dict.get("INLAYERCACHE"):
+        raise KeyError("Couldn't find INLAYERCACHE.")
+    if cfg_dict["OUTPSF"] != "GAUSSIAN":
+        raise ValueError("SplitPSF currently only works for Gaussians.")
+    sigma = float(cfg_dict["EXTRASMOOTH"])
+
+    obs = fits_read(cfg_dict["OBSFILE"])[1]
+    filters_obs = np.asarray(obs["filter"])
+    if filters_obs.dtype.kind in "US":
+        conv = np.zeros(len(filters_obs), dtype=np.uint16)
+        for j, s in enumerate(Stn.RomanFilters):
+            conv[filters_obs == s] = j
+        filters_obs = conv
+    n_obs = len(filters_obs)
+
+    ovsamp = int(cfg_dict["INPSF"][2])
+    r1 = float(cfg_dict["PSFSPLIT"][0])
+    r2 = float(cfg_dict["PSFSPLIT"][1])
+    epsilon = float(cfg_dict["PSFSPLIT"][2])
+
+    # stamp size: multiple of 8 covering the r2 radius (reference :448-450)
+    smallstampsize = int(np.ceil(r2 * ovsamp * 2 + 4))
+    smallstampsize += 8 - smallstampsize % 8
+
+    targetdir = cfg_dict["INLAYERCACHE"] + ".psf"
+    os.makedirs(targetdir, exist_ok=True)
+
+    use_filter = int(cfg_dict["FILTER"])
+    pars = {"smallstamp_size": smallstampsize, "sigmaGamma": sigma,
+            "r_in": r1, "r_out": r2, "eps": epsilon, "SAVEZETA": savezeta,
+            "oversamp": ovsamp}
+
+    count = 0
+    for iobs in range(n_obs):
+        psf_file = (cfg_dict["INPSF"][0] + "/"
+                    + InImage.psf_filename(cfg_dict["INPSF"][1], iobs))
+        # per-SCA WCS format string (sca placeholder from idsca = -1)
+        wcs_format = get_sca_imagefile(
+            cfg_dict["INDATA"][0], (iobs, -1),
+            Stn.RomanFilters[filters_obs[iobs]], cfg_dict["INDATA"][1])
+        if os.path.exists(psf_file) and filters_obs[iobs] == use_filter:
+            outfile = targetdir + f"/psf_{iobs:d}.fits"
+            print(f"{iobs:8d}/{n_obs:8d} found, file is at {psf_file} -->",
+                  outfile, flush=True)
+            split_psf_to_fits(psf_file, wcs_format, pars, outfile)
+            sys.stdout.flush()
+            count += 1
+    return count
 
 
 def split_all_psfs(jobs, pars, nworkers: int = None) -> list:
@@ -208,3 +349,10 @@ def split_all_psfs(jobs, pars, nworkers: int = None) -> list:
                     for pf, wl, of in jobs]
             return [fu.result() for fu in futs]
     return [split_psf_to_fits(pf, wl, pars, of) for pf, wl, of in jobs]
+
+
+if __name__ == "__main__":
+    # python -m pyimcom_tpu.splitpsf.splitpsf <config.json> [--savezeta]
+    import sys
+
+    main(sys.argv[1], savezeta="--savezeta" in sys.argv[2:])

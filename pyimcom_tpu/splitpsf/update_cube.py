@@ -73,3 +73,17 @@ def update(cfg, subI_suffix: str = "_subI.fits", archive: bool = True) -> int:
 
     print(f"update_cube: swapped {n_swapped} files; iteration -> {it + 1}")
     return it + 1
+
+
+def main(cfgfile):
+    """python -m pyimcom_tpu.splitpsf.update_cube <config.json>
+    (reference update_cube CLI, update_cube.py:43-136)."""
+    from ..config import Config
+
+    return update(Config(cfgfile))
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv[1])

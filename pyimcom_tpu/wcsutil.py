@@ -328,24 +328,139 @@ def fit_wcs_sip(pix2world_fn, nside: int, order: int = 3, ngrid: int = 24,
                crpix=ctr, cd=cd, lonpole=180.0, sip_a=sip_a, sip_b=sip_b)
 
 
+class SIPCorrectedWCS:
+    """
+    TAN-SIP approximation of an arbitrary pixel->world mapping WITH the
+    error-map refinement (the reference's 'ASTROPY+' mode,
+    wcsutil.py:459-592): the residual between the true mapping and the SIP
+    fit is tabulated on a pixel grid as (dx, dy) offsets
+
+        xbar == x + errmap[0](y, x),  ybar == y + errmap[1](y, x)
+
+    where (xbar, ybar) are the SIP-frame coordinates of the true (x, y).
+    pix2world evaluates the SIP WCS at the shifted position; world2pix
+    inverts by `niter` fixed-point iterations (reference default 3).  The
+    error map is bilinearly interpolated and linearly extrapolated `n_pad`
+    pixels beyond the chip using the slope over the outer `a` pixels
+    (reference LocWCS.err_interp, wcsutil.py:380-430).
+
+    Parameters
+    ----------
+    pix2world_fn : callable (x, y) -> (ra, dec) degrees, vectorized -- the
+        exact mapping (e.g. a GWCS evaluation).
+    nside : detector side length in pixels.
+    order : SIP polynomial order (reference uses 2 for GWCS conversion).
+    err_step : error-map sampling step in pixels (1 = the reference's
+        full-resolution map; coarser trades memory for interpolation error
+        on sub-err_step distortion scales).
+    """
+
+    def __init__(self, pix2world_fn, nside: int, order: int = 2,
+                 ngrid: int = 100, err_step: int = 8, a: int = 8,
+                 n_pad: int = None, niter: int = 3):
+        self.nside = nside
+        self.niter = niter
+        self.approx = fit_wcs_sip(pix2world_fn, nside, order=order,
+                                  ngrid=ngrid)
+
+        if n_pad is None:
+            n_pad = nside // 2
+        coords = np.arange(0, nside, err_step, dtype=np.float64)
+        if coords[-1] != nside - 1:
+            coords = np.append(coords, nside - 1)
+        ng = len(coords)
+        gx, gy = np.meshgrid(coords, coords)
+        ra, dec = pix2world_fn(gx.ravel(), gy.ravel())
+        xbar, ybar = self.approx.world2pix(ra, dec)
+        err = np.zeros((2, ng, ng))
+        err[0] = xbar.reshape(ng, ng) - gx
+        err[1] = ybar.reshape(ng, ng) - gy
+
+        # pad with linear extrapolation n_pad pixels beyond each edge
+        ia = min(a // err_step + 1, ng - 1)
+        co = np.concatenate([[coords[0] - n_pad], coords,
+                             [coords[-1] + n_pad]])
+        d = np.pad(err, ((0, 0), (1, 1), (1, 1)))
+        grad = n_pad / (coords[ia] - coords[0])
+        d[:, :, 0] = d[:, :, 1] + grad * (d[:, :, 1] - d[:, :, 1 + ia])
+        d[:, :, -1] = d[:, :, -2] + grad * (d[:, :, -2] - d[:, :, -2 - ia])
+        d[:, 0, :] = d[:, 1, :] + grad * (d[:, 1, :] - d[:, 1 + ia, :])
+        d[:, -1, :] = d[:, -2, :] + grad * (d[:, -2, :] - d[:, -2 - ia, :])
+        self._err_coords = co
+        self._err = d
+
+    def _err_eval(self, x, y):
+        """Bilinear (dx, dy) at positions (x, y), linearly extrapolated."""
+        co = self._err_coords
+        ix = np.clip(np.searchsorted(co, x) - 1, 0, len(co) - 2)
+        iy = np.clip(np.searchsorted(co, y) - 1, 0, len(co) - 2)
+        fx = (x - co[ix]) / (co[ix + 1] - co[ix])
+        fy = (y - co[iy]) / (co[iy + 1] - co[iy])
+        d = self._err
+        out = []
+        for k in range(2):
+            v00 = d[k][iy, ix]
+            v10 = d[k][iy, ix + 1]
+            v01 = d[k][iy + 1, ix]
+            v11 = d[k][iy + 1, ix + 1]
+            out.append((1 - fy) * ((1 - fx) * v00 + fx * v10)
+                       + fy * ((1 - fx) * v01 + fx * v11))
+        return out[0], out[1]
+
+    def pix2world(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        dx, dy = self._err_eval(x, y)
+        return self.approx.pix2world(x + dx, y + dy)
+
+    def world2pix(self, ra, dec):
+        xb, yb = self.approx.world2pix(ra, dec)
+        x, y = np.array(xb, dtype=np.float64), np.array(yb, dtype=np.float64)
+        for _ in range(self.niter):
+            dx, dy = self._err_eval(x, y)
+            x = xb - dx
+            y = yb - dy
+        return x, y
+
+    # astropy-compatible entry points (origin must be 0) ---------------------
+
+    all_pix2world = WCS.all_pix2world
+    all_world2pix = WCS.all_world2pix
+    pixel_to_world_values = pix2world
+    world_to_pixel_values = world2pix
+
+
 class PyIMCOM_WCS(WCS):
     """
     Reference-API-compatible wrapper name (reference wcsutil.py:419): accepts
-    a FITS header dict or an existing WCS; arbitrary callables can be
-    adapted with :func:`fit_wcs_sip` first.
+    a FITS header dict, an existing WCS, or any object/callable providing
+    the exact pixel->world mapping -- the latter is converted to the
+    error-map-corrected TAN-SIP approximation ('ASTROPY+' mode).
     """
 
-    def __init__(self, source, **kwargs):
+    def __new__(cls, source, nside: int = None, **kwargs):
+        if isinstance(source, WCS) or isinstance(source, dict) \
+                or hasattr(source, "get"):
+            return super().__new__(cls)
+        # GWCS-like object or bare callable -> corrected approximation
+        if hasattr(source, "pix2world"):
+            fn = source.pix2world
+        elif callable(source):
+            fn = source
+        else:
+            raise TypeError("PyIMCOM_WCS accepts a header, WCS, GWCS-like "
+                            "object, or pixel->world callable")
+        from .config import Settings as Stn
+
+        return SIPCorrectedWCS(fn, nside or Stn.sca_nside, **kwargs)
+
+    def __init__(self, source, nside: int = None, **kwargs):
         if isinstance(source, WCS):
             self.__dict__.update(source.__dict__)
         elif isinstance(source, dict) or hasattr(source, "get"):
             w = WCS.from_header(source)
             self.__dict__.update(w.__dict__)
-        else:
-            raise TypeError(
-                "PyIMCOM_WCS accepts a header or WCS; GWCS/ASDF objects are "
-                "not available in this environment -- approximate a callable "
-                "mapping with wcsutil.fit_wcs_sip instead.")
+        # else: __new__ returned a SIPCorrectedWCS; __init__ not called
 
 
 # ---------------------------------------------------------------------------

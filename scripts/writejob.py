@@ -34,9 +34,7 @@ _STAGE_CMD = {
               "build_all_layers; from pyimcom_tpu.config import Config; "
               "build_all_layers(Config('{cfg}'))\"",
     "coadd0": "python -m pyimcom_tpu.runner {cfg} --block $BLOCK",
-    "imsubtract": "python -c \"from pyimcom_tpu.splitpsf.imsubtract import "
-                  "run_imsubtract_all; print('configure idscas/split_file "
-                  "for run_imsubtract_all')\"",
+    "imsubtract": "python -m pyimcom_tpu.splitpsf.imsubtract {cfg} $SCA",
     "update": "python -c \"from pyimcom_tpu.splitpsf.update_cube import "
               "update; from pyimcom_tpu.config import Config; "
               "update(Config('{cfg}'))\"",
@@ -51,6 +49,9 @@ _STAGE_CMD = {
 }
 
 _ARRAY_STAGES = {"coadd0", "coadd1"}
+# imsubtract runs as a job array over the 18 SCAs (reference
+# scripts/writejob_example.pl:99-104)
+_SCA_ARRAY_STAGES = {"imsubtract"}
 
 
 def write_jobs(cfgfile: str, outdir: str, scheduler: str = "slurm",
@@ -77,7 +78,12 @@ def write_jobs(cfgfile: str, outdir: str, scheduler: str = "slurm",
                 if st in _ARRAY_STAGES:
                     f.write(f"#SBATCH --array=0-{nblock - 1}\n")
                     f.write("BLOCK=$SLURM_ARRAY_TASK_ID\n")
+                elif st in _SCA_ARRAY_STAGES:
+                    f.write("#SBATCH --array=1-18\n")
+                    f.write("SCA=$SLURM_ARRAY_TASK_ID\n")
             else:  # TPU pod: one process per host, jax.distributed ranks
+                if st in _SCA_ARRAY_STAGES:
+                    cmd = "for SCA in $(seq 1 18); do " + cmd + "; done"
                 if st in _ARRAY_STAGES:
                     cmd = ("python -c \"import jax; "
                            "jax.distributed.initialize(); "

@@ -187,3 +187,92 @@ def test_device_bilinear_matches_numpy():
     rhs = np.sum(u * np.asarray(bilinear_scatter_adjoint_device(
         jnp.asarray(v), jnp.asarray(xf), jnp.asarray(yf), (40, 40))))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_object_mask_thresholding():
+    from pyimcom_tpu.imdestripe import apply_object_mask
+
+    rng = np.random.default_rng(11)
+    # sky-subtracted background ~0 (the reference 'fits' threshold
+    # m*median + c assumes this; defaults m=0, c=0.3)
+    img = rng.normal(scale=0.01, size=(60, 60))
+    img[30, 30] = 50.0  # bright object
+    out, m = apply_object_mask(img, threshold_m=0.0, threshold_c=0.3)
+    assert m[30, 30]
+    # 5x5 dilation around the object
+    assert m[28:33, 28:33].all()
+    assert not m[0, 0]
+    assert out[30, 30] == 0.0 and out[0, 0] == img[0, 0]
+    # pre-supplied mask is honored
+    pre = np.zeros_like(m)
+    pre[5, 5] = True
+    out2, m2 = apply_object_mask(img, mask=pre)
+    assert m2 is pre and out2[5, 5] == 0.0
+
+
+def test_g_eff_from_wcs_jacobian():
+    from pyimcom_tpu.imdestripe import compute_g_eff
+
+    w = make_wcs()
+    g = compute_g_eff(w, (20, 20))
+    # TAN projection near the pole-free region: g_eff ~ 1/pixel solid angle,
+    # smooth and positive, |det CD| = (4e-5)^2
+    assert np.all(g > 0)
+    want = 1.0 / (4e-5) ** 2
+    assert abs(np.median(g) / want - 1) < 0.05
+    assert np.std(g) / np.median(g) < 1e-3
+
+
+def test_boundary_continuity_penalty():
+    from pyimcom_tpu.imdestripe import compute_boundary_continuity_penalty
+
+    img = np.zeros((100, 64))
+    img[:, 32:] = 1.0  # unit jump across the block boundary
+    mask = np.ones_like(img, dtype=bool)
+    pen = compute_boundary_continuity_penalty(img, mask, amp_cols=32,
+                                              col_boundary_const=2.0,
+                                              chunk_width=16, chunk_height=100)
+    np.testing.assert_allclose(pen, 2.0 * 1.0, rtol=1e-12)
+    assert compute_boundary_continuity_penalty(img, mask, None, 2.0) == 0.0
+    assert compute_boundary_continuity_penalty(img, mask, 32, 0.0) == 0.0
+
+
+@pytest.mark.parametrize("beta_model", ["FR", "PR", "HS", "DY"])
+def test_stripe_recovery_all_beta_models(beta_model):
+    """All four CG direction updates (reference imdestripe.py:2147-2162)
+    recover the injected stripes."""
+    rng = np.random.default_rng(7)
+    stripes = [rng.normal(scale=0.2, size=SIZE) for _ in range(3)]
+    prob = _make_problem(stripes)
+    params, _ = conjugate_gradient(prob, maxiter=25, beta_model=beta_model,
+                                   log=lambda *a: None)
+    assert prob.cost(params) < 1e-5 * prob.cost(np.zeros_like(params))
+
+
+def test_huber_cost_general_line_search():
+    """Non-quadratic cost path (bisection+secant line search) also reduces
+    the stripe cost substantially."""
+    rng = np.random.default_rng(8)
+    stripes = [rng.normal(scale=0.2, size=SIZE) for _ in range(3)]
+    scas_prob = _make_problem(stripes)
+    prob = DestripeProblem(scas_prob.scas, scas_prob.neighbors,
+                           cost_model="huber_loss", hub_thresh=0.5)
+    params, _ = conjugate_gradient(prob, maxiter=10, log=lambda *a: None)
+    assert prob.cost(params) < 0.05 * prob.cost(np.zeros_like(params))
+
+
+def test_csv_iteration_log(tmp_path):
+    import csv
+
+    from pyimcom_tpu.imdestripe import _CSV_HEADER
+
+    rng = np.random.default_rng(9)
+    stripes = [rng.normal(scale=0.2, size=SIZE) for _ in range(3)]
+    prob = _make_problem(stripes)
+    logf = str(tmp_path / "cg_log.csv")
+    conjugate_gradient(prob, maxiter=4, csv_file=logf, log=lambda *a: None)
+    with open(logf) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == _CSV_HEADER
+    assert len(rows) >= 4
+    assert float(rows[-1][6]) <= float(rows[1][6])  # cost decreases

@@ -68,10 +68,27 @@ def test_split_psf_to_fits_layout(tmp_path):
                             {"oversamp": 6, "tophat_in": True},
                             str(tmp_path / "psf_split.fits"))
     f = fits_read(out)
-    assert f[0].header["GSSKIP"] == 0
-    assert f[0].header["KERSKIP"] == 3
-    assert len(f) == 7  # primary + 3 shortrange + 3 kernels
-    assert f[1].data.shape == cube.shape
+    # reference layout (splitpsf.py:287-397): originals, then short-range,
+    # then kernels
+    assert f[0].header["GSSKIP"] == 3
+    assert f[0].header["KERSKIP"] == 6
+    assert len(f) == 10  # primary + 3 originals + 3 shortrange + 3 kernels
+    assert f[1].data.shape == cube.shape          # original passthrough
+    np.testing.assert_allclose(f[1].data, cube, atol=1e-7)
+    assert f[4].header["IMTYPE"].strip() == "Short range PSF"
+    assert f[7].header["IMTYPE"].strip() == "Kernel K"
+    assert "MAXZETA" in f[7].header and "KINT" in f[7].header
+    assert f[0].header["MAXZETA"] >= 0
+
+    # with SAVEZETA, the zeta cubes follow (ZETASKIP block)
+    out2 = split_psf_to_fits(str(tmp_path / "psf_in.fits"), None,
+                             {"oversamp": 6, "tophat_in": True,
+                              "SAVEZETA": True},
+                             str(tmp_path / "psf_split_z.fits"))
+    f2 = fits_read(out2)
+    assert f2[0].header["ZETASKIP"] == 9
+    assert len(f2) == 13
+    assert f2[10].data.shape == cube.shape
 
 
 def test_fftconvolve_multi_matches_scipy():
@@ -120,3 +137,51 @@ def test_update_cube(tmp_path):
     with open(cache + "_oldcfg.json") as f:
         hist = json.load(f)
     assert len(hist) == 2
+
+
+def test_reinterp_and_bin2x2():
+    """2x2 kernel binning (reference imsubtract.py:241-262, 360-384):
+    reinterp halves the grid; the binned kernel conserves the integral
+    (per native pixel area) for smooth kernels."""
+    from pyimcom_tpu.splitpsf.imsubtract import bin_kernel_2x2, reinterp
+
+    # reinterp sums 2x2 sample blocks (flux x4 per new sample) exactly for
+    # linear functions: out[i, j] = 4 * lin(2i + 1.5, 2j + 1.5)
+    y, x = np.mgrid[0:18, 0:18].astype(np.float64)
+    lin = 2.0 + 0.3 * x - 0.1 * y
+    out = reinterp(lin)
+    assert out.shape == (8, 8)
+    i, j = np.mgrid[0:8, 0:8].astype(np.float64)
+    want = 4.0 * (2.0 + 0.3 * (2 * j + 1.5) - 0.1 * (2 * i + 1.5))
+    np.testing.assert_allclose(out, want, atol=1e-10)
+
+    # binning a smooth Gaussian kernel cube: the total kernel SUM is
+    # conserved (each new sample carries the flux of its 2x2 block), so the
+    # K (*) H convolution value is unchanged when H is sampled at ov/2
+    ov = 6
+    n = 8 * ov  # axis multiple of 2*oversamp
+    yy, xx = np.mgrid[0:n, 0:n]
+    c = (n - 1) / 2
+    K = np.exp(-0.5 * ((xx - c) ** 2 + (yy - c) ** 2) / (1.5 * ov) ** 2)
+    K = np.stack([K, 0.1 * K])
+    Kb, ov2 = bin_kernel_2x2(K, ov)
+    assert ov2 == ov // 2
+    # the odd-oversamp branch trims one native pixel of wings, so sum
+    # conservation holds to the trimmed flux (~2% for this wide Gaussian)
+    assert abs(Kb[0].sum() / K[0].sum() - 1) < 0.03
+    np.testing.assert_allclose(Kb[1], 0.1 * Kb[0], atol=1e-12)
+    with pytest.raises(ValueError):
+        bin_kernel_2x2(K, 5)
+
+
+def test_fft_workers_env(monkeypatch):
+    from pyimcom_tpu.splitpsf.imsubtract import fft_workers
+
+    monkeypatch.delenv("PYIMCOM_FFT_WORKERS", raising=False)
+    monkeypatch.delenv("SLURM_CPUS_PER_TASK", raising=False)
+    monkeypatch.delenv("OMP_NUM_THREADS", raising=False)
+    assert fft_workers() == 1
+    monkeypatch.setenv("SLURM_CPUS_PER_TASK", "4")
+    assert fft_workers() == 4
+    monkeypatch.setenv("PYIMCOM_FFT_WORKERS", "2")
+    assert fft_workers() == 2

@@ -163,5 +163,11 @@ def test_pyimcom_wcs_wrapper():
     np.testing.assert_allclose(np.stack(w.pix2world(np.array([100.0]), np.array([200.0]))),
                                np.stack(w2.pix2world(np.array([100.0]), np.array([200.0]))),
                                atol=1e-12)
+    # callables are dispatched to the error-map-corrected approximation
+    # ('ASTROPY+' mode; see tests/test_wcsutil.py for accuracy)
+    from pyimcom_tpu.wcsutil import SIPCorrectedWCS
+
+    w3 = PyIMCOM_WCS(w.pix2world, nside=64, ngrid=16, err_step=8)
+    assert isinstance(w3, SIPCorrectedWCS)
     with pytest.raises(TypeError):
-        PyIMCOM_WCS(lambda x, y: (x, y))
+        PyIMCOM_WCS(12345)
