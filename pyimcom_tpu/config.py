@@ -414,3 +414,117 @@ class Config:
             with open(fname, "w") as f:
                 f.write(text)
         return text
+
+
+# ---------------------------------------------------------------------------
+# interactive configuration builder
+# ---------------------------------------------------------------------------
+
+_PROMPT_HELP = {
+    "OBSFILE": "input observation list (FITS table)",
+    "INDATA": "input file directory and format, e.g. /data L2_fits",
+    "FILTER": "filter index (0=Y106 .. per Settings.RomanFilters)",
+    "INPSF": "PSF directory, format, oversampling, e.g. /psf L2_fits 8",
+    "CTR": "mosaic center RA DEC in degrees",
+    "BLOCK": "blocks per mosaic side (nblock)",
+    "OUTSIZE": "n1 n2 dtheta_arcsec (stamps/block, px/stamp, output scale)",
+    "OUT": "output stem for block files",
+    "EXTRAINPUT": "extra layers, comma separated (e.g. whitenoise1,cstar14)",
+    "PSFSPLIT": "r1 r2 epsilon [bin2x2] -- empty for no PSF splitting",
+    "LAKERNEL": "solver: Cholesky | Eigen | Iterative | Empirical",
+    "KAPPAC": "kappa/C nodes, space separated",
+    "INLAYERCACHE": "input-layer cache stem (empty to disable)",
+}
+
+
+def _parse_like(default, text: str):
+    """Parse `text` with the same type/shape as `default`."""
+    if isinstance(default, bool):
+        return text.strip().lower() in ("1", "true", "yes", "y")
+    if isinstance(default, int):
+        return int(text)
+    if isinstance(default, float):
+        return float(text)
+    if isinstance(default, (list, tuple)):
+        parts = text.replace(",", " ").split()
+        out = []
+        for p in parts:
+            try:
+                out.append(int(p))
+            except ValueError:
+                try:
+                    out.append(float(p))
+                except ValueError:
+                    out.append(None if p.lower() == "none" else p)
+        return out
+    return text
+
+
+def build_config_interactive(input_fn=input, output=print, outfile=None):
+    """
+    Terminal interface to build a configuration from scratch
+    (reference Config._build_config, config.py:632-1102): walks the keyword
+    schema section by section; empty input keeps the default, required keys
+    re-prompt until provided.  Returns the built Config (written to
+    `outfile` when given).
+    """
+    output("### pyimcom_tpu configuration builder ###")
+    output("### enter nothing to accept the [default] ###\n")
+    cfg_dict = {}
+    for key, default in _DEFAULT_CONFIG.items():
+        required = default is _REQ
+        hint = _PROMPT_HELP.get(key, "")
+        shown = "required" if required else f"default: {default!r}"
+        while True:
+            text = input_fn(f"{key} ({hint}; {shown}): " if hint
+                            else f"{key} ({shown}): ").strip()
+            if not text:
+                if required:
+                    output(f"  {key} is required.")
+                    continue
+                break
+            try:
+                if required:
+                    # infer shape from the key's documented form
+                    if key in ("OBSFILE", "OUT"):
+                        cfg_dict[key] = text
+                    elif key == "FILTER":
+                        cfg_dict[key] = int(text)
+                    elif key == "BLOCK":
+                        cfg_dict[key] = int(text)
+                    elif key in ("INDATA",):
+                        cfg_dict[key] = text.split()
+                    elif key == "INPSF":
+                        p, f, ov = text.split()
+                        cfg_dict[key] = [p, f, int(ov)]
+                    elif key == "CTR":
+                        cfg_dict[key] = [float(v) for v in text.split()]
+                    elif key == "OUTSIZE":
+                        a, b, c = text.split()
+                        cfg_dict[key] = [int(a), int(b), float(c)]
+                    else:
+                        cfg_dict[key] = text
+                elif key == "EXTRAINPUT":
+                    # Config prepends the SCI layer (None) itself
+                    cfg_dict[key] = [s.strip() for s in text.split(",")
+                                     if s.strip()]
+                else:
+                    cfg_dict[key] = _parse_like(default, text)
+                break
+            except (ValueError, TypeError) as e:
+                output(f"  could not parse: {e}")
+    cfg = Config(cfg_dict)
+    cfg()
+    if outfile:
+        with open(outfile, "w") as f:
+            f.write(cfg.to_file(None))
+        output(f"configuration written to {outfile}")
+    return cfg
+
+
+if __name__ == "__main__":
+    # python -m pyimcom_tpu.config [outfile.json]
+    import sys as _sys
+
+    build_config_interactive(
+        outfile=_sys.argv[1] if len(_sys.argv) > 1 else None)
