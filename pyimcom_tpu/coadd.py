@@ -1364,6 +1364,15 @@ class Block:
             self.Tsum_map = np.zeros(shape, dtype=np.float32) if "T" in outmaps else None
             self.Neff_map = np.zeros(shape, dtype=np.float32) if "N" in outmaps else None
 
+        # the 2x2 iteration blocks require even stamp counts per axis
+        # (reference coadd.py:2052-2055; auto padding must keep n1 + pads
+        # even, as the production PAD=2 configs do)
+        if ((self.j_st_max + 1 - self.j_st_min) % 2 == 1
+                or (self.i_st_max + 1 - self.i_st_min) % 2 == 1):
+            raise ValueError(
+                f"Size must be even: y={self.j_st_min}..{self.j_st_max}, "
+                f"x={self.i_st_min}..{self.i_st_max}")
+
         use_device = (not sim_mode) and self._device_path_enabled()
         devices = self._stamp_devices() if use_device else [None]
         n_dev = max(1, len(devices))

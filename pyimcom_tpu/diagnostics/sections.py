@@ -138,12 +138,36 @@ class NoiseReport(ReportSection):
         fig, ax = plt.subplots(figsize=(6, 4))
         text_lines = []
         found = False
+        ps2d_figs = []
         for il, spec in enumerate(oi.cfg.extrainput):
             if spec is None or not ("noise" in spec.lower()):
                 continue
             kc, pk = NoiseAnal(oi, layer=il).power_spectrum()
             ax.loglog(kc[1:], pk[1:], label=spec)
             text_lines.append(f"{spec} white-level {np.median(pk[len(pk)//2:]):.4e}")
+            # reference-style physically normalized 1D + binned 2D spectra
+            # (reference NoiseAnal.__call__, analysis.py:745-808)
+            na = NoiseAnal(oi, layer=spec)
+            try:
+                na()
+            except Exception:  # noqa: BLE001 -- layer-name conventions vary
+                continue
+            f2, a2 = plt.subplots(1, 2, figsize=(9, 4))
+            im = a2[0].imshow(np.log10(np.maximum(na.ps2d, 1e-30)),
+                              origin="lower", cmap="viridis")
+            a2[0].set_title(f"{spec}: log10 P2D (8x8 binned)")
+            f2.colorbar(im, ax=a2[0])
+            nb = len(na.ps1d)
+            a2[1].errorbar(np.arange(nb), na.ps1d[:, 0], yerr=na.ps1d[:, 1],
+                           fmt="o-", ms=3)
+            a2[1].set_xlabel("radial bin")
+            a2[1].set_ylabel("P(k) [physical norm]")
+            a2[1].set_title("azimuthal average")
+            f2.tight_layout()
+            ps2d_figs.append(f2)
+            text_lines.append(
+                f"{spec} ps1d " + " ".join(f"{v:.5e}" for v in na.ps1d[:, 0]))
+            na.clear()
             found = True
         if not found:
             plt.close(fig)
@@ -153,6 +177,7 @@ class NoiseReport(ReportSection):
         ax.legend()
         ax.set_title("Coadded noise power spectra")
         self.figures.append(fig)
+        self.figures.extend(ps2d_figs)
         self.add_datablock("NOISEPOWER", "\n".join(text_lines))
 
 

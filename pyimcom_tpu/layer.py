@@ -168,11 +168,13 @@ def generate_star_grid(res, mywcs, scapar=None):
 
 
 def make_image_from_grid(res, inpsf, idsca, obsdata, mywcs, nside_sca, inpsf_oversamp,
-                         patch_half: int = 64, chunk: int = 32):
+                         patch_half: int = 64, chunk: int = 32, flux_fn=None):
     """
-    Draw a unit-flux star at every grid point by interpolating the
-    oversampled PSF (reference GridInject.make_image_from_grid,
-    layer.py:791-854), batched on device in chunks of stars.
+    Draw a star at every grid point by interpolating the oversampled PSF
+    (reference GridInject.make_image_from_grid, layer.py:791-854), batched
+    on device in chunks of stars.  `flux_fn(xsca, ysca) -> (nstar,)` sets
+    per-star fluxes (default: unit flux; used by the field-dependent
+    'gsfdstar' layers, reference layer.py:188-218,273-276).
     """
     import jax.numpy as jnp
 
@@ -243,6 +245,8 @@ def make_image_from_grid(res, inpsf, idsca, obsdata, mywcs, nside_sca, inpsf_ove
                 jnp.asarray(stack), jnp.asarray(qx.ravel()), jnp.asarray(qy.ravel()),
                 jnp.asarray(which.ravel()))).reshape(ns, P, P) * inpsf_oversamp ** 2
 
+        if flux_fn is not None:
+            vals = vals * np.asarray(flux_fn(xsca[sel], ysca[sel]))[:, None, None]
         for k in range(ns):
             m = inb[k]
             np.add.at(image, (gy[k].repeat(P, axis=1)[m], gx[k].repeat(P, axis=0)[m]), vals[k][m])
@@ -358,7 +362,8 @@ def parse_gsext_args(arglist):
 
 
 def make_extobj_image_from_grid(res, inimage, nside_sca, inpsf_oversamp, args,
-                                patch_half: int = 64, chunk: int = 16):
+                                patch_half: int = 64, chunk: int = 16,
+                                psf_source=None):
     """
     Draw unit-flux extended objects at every grid point: the oversampled PSF
     is convolved with the analytic sheared galaxy profile in Fourier space,
@@ -406,7 +411,9 @@ def make_extobj_image_from_grid(res, inimage, nside_sca, inpsf_oversamp, args,
     for start in range(0, len(idx), chunk):
         sel = idx[start:start + chunk]
         ns = len(sel)
-        if batch_fn is not None:
+        if psf_source is not None:
+            psfs = list(psf_source(np.stack([rapix[sel], decpix[sel]], axis=-1)))
+        elif batch_fn is not None:
             psfs = list(batch_fn(np.stack([rapix[sel], decpix[sel]], axis=-1),
                                  use_drawpsf=True))
         else:
@@ -569,15 +576,54 @@ def _build_extra_layer(spec: str, inimage) -> np.ndarray | None:
                                     inimage.inwcs, nside, cfg.inpsf_oversamp
                                     ).astype(np.float32)
 
+    m = re.search(r"^gsfdstar(\d+),(.+)$", spec, re.IGNORECASE)
+    if m:
+        # field-dependent star flux: 1 at the FPA center rising to 1+amp at
+        # the corners (reference layer.py:1419-1434, 273-276)
+        from .config import fpaCoords
+
+        res = int(m.group(1))
+        amp = float(m.group(2))
+        sca = idsca[1]
+
+        def flux_fn(xs, ys):
+            xf, yf = fpaCoords.pix2fpa(sca, xs, ys)
+            return 1.0 + amp * (xf ** 2 + yf ** 2) / fpaCoords.Rfpa ** 2
+
+        return make_image_from_grid(res, inimage.get_psf_pos, idsca, obsdata,
+                                    inimage.inwcs, nside, cfg.inpsf_oversamp,
+                                    flux_fn=flux_fn).astype(np.float32)
+
     m = re.search(r"^(gsext|gsextchrom)(\d+)(,|$)", spec, re.IGNORECASE)
     if m:
         res = int(m.group(2))
         raw = spec.split(",")[1:]
+        psf_source = None
         if m.group(1).lower() == "gsextchrom" and raw and "=" not in raw[0]:
-            raw = raw[1:]  # chromatic variant carries a PSF path first
+            # chromatic variant: inject with the PSF cube from the given
+            # directory instead of the run PSF (reference layer.py:1446-1456)
+            chrom_path = raw[0]
+            raw = raw[1:]
+            fname = chrom_path + f"/psf_polyfit_{idsca[0]:d}.fits"
+            if exists(fname):
+                from .ops import psfmodels
+
+                cube = np.asarray(fits_read(fname)[idsca[1]].data,
+                                  dtype=np.float64)
+
+                def psf_source(points):
+                    px, py = inimage.inwcs.world2pix(points[:, 0], points[:, 1])
+                    psfs = psfmodels.eval_psf_cube_batch(cube, px, py,
+                                                         nside=nside)
+                    return psfmodels.smooth_and_pad_batch(
+                        psfs, tophatwidth=cfg.inpsf_oversamp)
+            else:
+                print(f"gsextchrom: chromatic PSF {fname} missing; using the "
+                      "run PSF", flush=True)
         args = parse_gsext_args(raw)
         return make_extobj_image_from_grid(res, inimage, nside, cfg.inpsf_oversamp,
-                                           args).astype(np.float32)
+                                           args, psf_source=psf_source
+                                           ).astype(np.float32)
 
     m = re.search(r"^nstar(\d+),", spec, re.IGNORECASE)
     if m:
@@ -590,6 +636,37 @@ def _build_extra_layer(spec: str, inimage) -> np.ndarray | None:
         lam = brightness * tot_int + bg
         lam_c = np.clip(lam, 0, None)
         return (rng.poisson(lam=lam_c) - lam_c + lam - bg).astype(np.float32)
+
+    m = re.search(r"^noise,(\S+)$", spec, re.IGNORECASE)
+    if m:
+        # saved noise realizations from the L2 preprocessing (reference
+        # layer.py:1460-1490): pick the slice whose label matches
+        noiselabel = m.group(1)
+        filename = get_sca_imagefile(cfg.inpath, idsca, obsdata, cfg.informat,
+                                     extraargs={"type": "noise"})
+        if filename and exists(filename):
+            if filename.endswith(".asdf"):
+                from .asdfio import asdf_read
+
+                tree = asdf_read(filename)
+                labels = list(tree["config"]["NOISE"]["LAYER"])
+                data = np.asarray(tree["noise"])
+            else:
+                f = fits_read(filename)
+                labels = [str(f[0].header.get(f"NOISE{j:d}", "")).strip()
+                          for j in range(len(f) - 0)]
+                data = np.asarray(f[0].data)
+            jn_use = -1
+            for jn, lab in enumerate(labels):
+                if lab == noiselabel and jn_use < 0:
+                    jn_use = jn
+            if jn_use < 0:
+                print(f"noise layer {noiselabel!r} not found in {filename}",
+                      flush=True)
+                return np.zeros((nside, nside), dtype=np.float32)
+            sl = data[jn_use] if data.ndim == 3 else data
+            return np.asarray(sl[:nside, :nside], dtype=np.float32)
+        return np.zeros((nside, nside), dtype=np.float32)
 
     if spec.casefold() == "truth" or spec.lower().startswith("truth,"):
         rescale = 1.0

@@ -58,17 +58,17 @@ def test_galaxy_ft_unit_flux_and_profiles():
     uy = np.fft.fftfreq(n)[:, None]
     ux = np.fft.rfftfreq(n)[None, :]
     A = np.eye(2)
-    for prof in (0.5, 1.0):
+    # n=0.5 / n=1 have closed forms; general n goes through the
+    # Hankel-transform table -- all must reproduce the half-light radius
+    for prof, tol in ((0.5, 1e-12), (1.0, 1e-12), (2.5, 1e-3), (4.0, 2e-3)):
         g = galaxy_ft(ux, uy, prof, 5.0, np.eye(2), A)
-        assert abs(g[0, 0] - 1.0) < 1e-12  # unit flux
+        assert abs(g[0, 0] - 1.0) < tol  # unit flux
         img = np.fft.fftshift(np.fft.irfft2(g, s=(n, n)))
         # half-light radius check: flux inside r=hlr ~ half of total
         yy, xx = np.mgrid[0:n, 0:n] - n // 2
         r = np.hypot(yy, xx)
         frac = img[r <= 5.0].sum() / img.sum()
-        assert abs(frac - 0.5) < 0.05, (prof, frac)
-    with pytest.raises(NotImplementedError):
-        galaxy_ft(ux, uy, 4.0, 5.0, np.eye(2), A)
+        assert abs(frac - 0.5) < 0.06, (prof, frac)
 
 
 def test_shear_matrix_unit_det():
@@ -76,3 +76,37 @@ def test_shear_matrix_unit_det():
     assert abs(np.linalg.det(M) - 1.0) < 1e-12
     with pytest.raises(ValueError):
         _shear_matrix(0.8, 0.7)  # |e| >= 1
+
+
+def test_field_dependent_star_flux():
+    """gsfdstar layers: flux 1 at FPA center to 1+amp at corners
+    (reference layer.py:188-218, 273-276, 1419-1434)."""
+    from pyimcom_tpu.config import fpaCoords
+
+    xf, yf = fpaCoords.pix2fpa(1, 2043.5, 2043.5)
+    r2 = (xf ** 2 + yf ** 2) / fpaCoords.Rfpa ** 2
+    amp = 0.3
+    flux_ctr = 1.0 + amp * r2
+    assert 1.0 < flux_ctr < 1.3  # SCA 1 sits off the FPA center
+
+    # flux_fn wiring through make_image_from_grid: two identical stars with
+    # flux_fn=2x draw exactly twice the unit-flux image
+    from pyimcom_tpu.layer import make_image_from_grid
+    from pyimcom_tpu.wcsutil import WCS
+
+    w = WCS(ctype=("RA---TAN", "DEC--TAN"), crval=(150.0, 2.0),
+            crpix=(2043.5, 2043.5), cd=np.array([[-3.1e-5, 0], [0, 3.1e-5]]),
+            lonpole=180.0)
+    yy, xx = np.mgrid[0:61, 0:61]
+    psf = np.exp(-0.5 * ((xx - 30) ** 2 + (yy - 30) ** 2) / 36.0)
+    psf /= psf.sum()
+
+    def getpsf(pt, use_drawpsf=False):
+        return psf
+
+    img1 = make_image_from_grid(12, getpsf, (0, 1), {"filter": [1]}, w,
+                                4088, 6)
+    img2 = make_image_from_grid(12, getpsf, (0, 1), {"filter": [1]}, w,
+                                4088, 6, flux_fn=lambda xs, ys: 2.0 * np.ones(len(xs)))
+    assert img1.sum() > 0
+    np.testing.assert_allclose(img2, 2.0 * img1, rtol=0, atol=1e-10)
