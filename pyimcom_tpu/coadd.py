@@ -18,7 +18,7 @@ so XLA compiles one program per bucket instead of one per stamp.
 
 from __future__ import annotations
 
-import datetime
+
 import os
 from itertools import combinations, product
 from os.path import exists
@@ -27,7 +27,7 @@ import numpy as np
 
 from .config import Config, Settings as Stn, Timer
 from .fitsio import HDUList, Header, ImageHDU, TableHDU, fits_read, fits_write
-from .layer import Mask, check_if_idsca_exists, get_all_data, get_sca_imagefile
+from .layer import Mask, check_if_idsca_exists, get_all_data
 from .ops import psfmodels
 from . import psfgrp as _psfgrp
 from .psfgrp import (
@@ -40,6 +40,7 @@ from .psfgrp import (
     io_submatrix_rect_plan,
     outpsf_C_values,
     sample_psf_rotated,
+    sample_psf_rotated_batch,
     sample_psf_unrotated,
     submatrix_rect_plan,
 )
@@ -700,14 +701,24 @@ class Block:
             blk2grp[b] = g
         compute_point_pix = [ji_grp[1] * cfg.n2 - 0.5, ji_grp[0] * cfg.n2 - 0.5]
         world = self.outwcs.all_pix2world(np.array([compute_point_pix]), 0)[0]
-        psf_arr = np.zeros((n_psf, self.geom.nsamp, self.geom.nsamp))
         with _phase("psf.sample_group"):
-            for g, b in enumerate(imgs):
+            psfs, mapfns = [], []
+            for b in imgs:
                 inimage = self.inimages[b]
-                this_psf = inimage.get_psf_pos(world, use_shortrange=True)
-                psf_arr[g] = sample_psf_rotated(self.geom, this_psf,
-                                                inimage.outpix2world2inpix,
-                                                compute_point_pix)
+                psfs.append(np.asarray(inimage.get_psf_pos(world,
+                                                           use_shortrange=True)))
+                mapfns.append(inimage.outpix2world2inpix)
+            if (n_psf > 0 and _psfgrp._use_dense()
+                    and len({p.shape for p in psfs}) == 1):
+                # one dense device call resamples the whole group
+                psf_arr = sample_psf_rotated_batch(self.geom, psfs, mapfns,
+                                                   compute_point_pix)
+            else:
+                psf_arr = np.zeros((n_psf, self.geom.nsamp, self.geom.nsamp))
+                for g in range(n_psf):
+                    psf_arr[g] = sample_psf_rotated(self.geom, psfs[g],
+                                                    mapfns[g],
+                                                    compute_point_pix)
         grp = PSFGroup(self.geom, psf_arr, idx_blk2grp=blk2grp, idx_grp2blk=imgs,
                        psf_circ=cfg.psf_circ, psf_norm=cfg.psf_norm,
                        amp_penalty=cfg.amp_penalty)
@@ -1376,9 +1387,22 @@ class Block:
         use_device = (not sim_mode) and self._device_path_enabled()
         devices = self._stamp_devices() if use_device else [None]
         n_dev = max(1, len(devices))
-        round_ = []   # [(group, device), ...] -- one group per device per round
+        round_ = []     # [(group, device), ...] -- one group per device
+        in_flight = []  # enqueued-but-undrained rounds (device still busy)
         n_coadded = 0
         done = False
+
+        def flush_round():
+            records = []
+            for g, d in round_:
+                records += self._coadd_group_device(g, d) or []
+            in_flight.append(records)
+            round_.clear()
+            # keep two rounds in flight: the host plans round k+1 while the
+            # devices compute round k; drain the older round only then
+            if len(in_flight) > 1:
+                self._drain_group_results(in_flight.pop(0))
+
         for j_st in range(self.j_st_min, self.j_st_max + 1, 2):
             if done:
                 break
@@ -1393,11 +1417,7 @@ class Block:
                     dev = devices[len(round_) % n_dev] if n_dev > 1 else None
                     round_.append((group, dev))
                     if len(round_) == n_dev or n_coadded == self.nrun:
-                        records = []
-                        for g, d in round_:
-                            records += self._coadd_group_device(g, d) or []
-                        self._drain_group_results(records)
-                        round_ = []
+                        flush_round()
                 else:
                     for (j, i) in group:
                         self._output_stamp(j, i, sim_mode)
@@ -1405,9 +1425,8 @@ class Block:
                     done = True
                     break
         if round_:
-            records = []
-            for g, d in round_:
-                records += self._coadd_group_device(g, d) or []
+            flush_round()
+        for records in in_flight:
             self._drain_group_results(records)
 
     def _sim_count(self, ji_in_s, ji_out):

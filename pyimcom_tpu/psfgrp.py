@@ -175,6 +175,43 @@ def sample_psf_rotated(geom: PSFGeometry, psf: np.ndarray,
     return np.asarray(out).reshape(geom.nsamp, geom.nsamp)
 
 
+def sample_psf_rotated_batch(geom: PSFGeometry, psfs, mapfns,
+                             compute_point_pix) -> np.ndarray:
+    """
+    Batched :func:`sample_psf_rotated`: all PSFs of a 2x2 group resample in
+    ONE dense interpolation call (R = n_psf rows) instead of one dispatch
+    chain per PSF -- the per-group host<->device round trips drop ~n_psf x.
+
+    psfs : list of (ny, nx) arrays (uniform shape).
+    mapfns : list of outpix2world2inpix callables (one per PSF's exposure).
+    """
+    import jax.numpy as jnp
+
+    from .ops.interp import interp2d_dense
+
+    n_psf = len(psfs)
+    ny, nx = psfs[0].shape[-2:]
+    xctr = (nx - 1) / 2.0
+    yctr = (ny - 1) / 2.0
+    yy, xx = np.meshgrid(geom.yo, geom.xo, indexing="ij")
+    xyo = np.stack([xx.ravel(), yy.ravel()], axis=-1) * geom.dscale
+
+    qx = np.zeros((n_psf, xyo.shape[0]))
+    qy = np.zeros_like(qx)
+    stack = np.zeros((n_psf, ny + 2 * INTERP_PAD, nx + 2 * INTERP_PAD))
+    for g, (psf, mapfn) in enumerate(zip(psfs, mapfns)):
+        inpix = mapfn(xyo + np.asarray(compute_point_pix)[None, :])
+        inpix = inpix - mapfn(np.asarray([compute_point_pix]))
+        qx[g] = inpix[:, 0] * geom.oversamp + xctr + INTERP_PAD
+        qy[g] = inpix[:, 1] * geom.oversamp + yctr + INTERP_PAD
+        stack[g] = np.pad(psf, INTERP_PAD)
+
+    dt = compute_dtype()
+    out = interp2d_dense(jnp.asarray(stack, dtype=dt), jnp.asarray(qx),
+                         jnp.asarray(qy), geom.psfinterp)
+    return np.asarray(out).reshape(n_psf, geom.nsamp, geom.nsamp)
+
+
 def sample_psf_unrotated(geom: PSFGeometry, psfs: np.ndarray) -> np.ndarray:
     """Sample output PSFs on the unrotated grid (reference psfutil.py:784-795)."""
     import jax.numpy as jnp

@@ -131,6 +131,9 @@ def main(argv=None):
     ap.add_argument("--all", action="store_true", help="run all blocks")
     ap.add_argument("--workers", type=int, default=1)
     ap.add_argument("--report", action="store_true", help="build the report after")
+    ap.add_argument("--share-pads", action="store_true",
+                    help="run the padding-stamp halo exchange post-pass "
+                         "and save the merged blocks")
     args = ap.parse_args(argv)
 
     cfg = Config(args.config)
@@ -141,6 +144,15 @@ def main(argv=None):
     else:
         print("specify --block N or --all")
         return 1
+
+    if args.share_pads:
+        from .analysis import Mosaic
+
+        mos = Mosaic(cfg.outstem)
+        mos.share_padding_stamps()
+        for key, oi in mos.images.items():
+            oi.save()
+        print(f"halo exchange applied to {len(mos.images)} blocks")
 
     if args.report:
         from .diagnostics.run import run_report

@@ -16,7 +16,7 @@ import scipy.signal
 from scipy.special import eval_legendre, roots_legendre
 
 from ..config import Settings as Stn
-from ..fitsio import HDUList, Header, ImageHDU, fits_read, fits_write
+from ..fitsio import HDUList, ImageHDU, fits_read, fits_write
 from ..wcsutil import local_partial_pixel_derivatives2
 
 

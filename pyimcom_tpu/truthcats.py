@@ -19,7 +19,7 @@ import numpy as np
 from .config import Config, Settings as Stn
 from .fitsio import HDUList, ImageHDU, TableHDU, fits_write
 from .sphere import healpix_patch
-from .wcsutil import WCS, make_block_wcs
+from .wcsutil import make_block_wcs
 
 DEG = np.pi / 180.0
 

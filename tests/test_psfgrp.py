@@ -127,3 +127,30 @@ def test_overlap_interpolates_to_analytic(geometry):
         / geom.dscale ** 2  # in samples^2
     want = np.exp(-d2 / (4 * sig ** 2)) / (4 * np.pi * sig ** 2)
     np.testing.assert_allclose(res, want, rtol=0, atol=3e-7)
+
+
+def test_sample_psf_rotated_batch_matches_single():
+    from pyimcom_tpu.psfgrp import (PSFGeometry, sample_psf_rotated,
+                                    sample_psf_rotated_batch)
+
+    rng = np.random.default_rng(0)
+    geom = PSFGeometry(npixpsf=8, oversamp=4, dtheta=0.04 / 3600)
+    ny = nx = geom.nsamp + 9
+    psfs = [rng.random((ny, nx)) for _ in range(3)]
+    ths = [0.0, 0.1, -0.25]
+
+    def mk(th):
+        c, s = np.cos(th), np.sin(th)
+
+        def f(xy):
+            xy = np.asarray(xy, dtype=np.float64)
+            return np.stack([c * xy[:, 0] - s * xy[:, 1],
+                             s * xy[:, 0] + c * xy[:, 1]], axis=-1) * 0.35
+
+        return f
+
+    mapfns = [mk(t) for t in ths]
+    batch = sample_psf_rotated_batch(geom, psfs, mapfns, [10.0, -3.0])
+    for g in range(3):
+        single = sample_psf_rotated(geom, psfs[g], mapfns[g], [10.0, -3.0])
+        np.testing.assert_allclose(batch[g], single, rtol=0, atol=1e-11)

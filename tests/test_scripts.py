@@ -1,0 +1,61 @@
+"""Script-level utilities: correlation estimators, PSF generator, writejob."""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "scripts")
+
+
+def test_gg_correlation_constant_field():
+    from correlation import gg_correlation, ng_correlation, nk_correlation
+
+    rng = np.random.default_rng(0)
+    n = 300
+    ra = rng.uniform(0, 0.05, n)
+    dec = rng.uniform(0, 0.05, n)
+    e1 = np.full(n, 0.03)
+    e2 = np.full(n, -0.01)
+    xip, xim, cnt = gg_correlation(ra, dec, e1, e2, 1e-4, 0.05, 8)
+    good = cnt > 50
+    np.testing.assert_allclose(xip[good], 0.03 ** 2 + 0.01 ** 2, rtol=1e-10)
+    assert np.abs(xim[good]).max() < 2e-4
+    gt, _ = ng_correlation(ra, dec, e1, e2, 1e-4, 0.05, 8)
+    assert np.all(np.abs(gt[good]) <= np.hypot(0.03, 0.01) + 1e-12)
+    kk, _ = nk_correlation(ra, dec, np.full(n, 0.7), 1e-4, 0.05, 8)
+    np.testing.assert_allclose(kk[good], 0.7, rtol=1e-10)
+
+
+def test_genpsf_writes_ingestible_cubes(tmp_path):
+    import genpsf
+
+    rc = genpsf.main([str(tmp_path), "5", "--npix", "12", "--oversamp", "4",
+                      "--grad", "0.1"])
+    assert rc == 0
+    from pyimcom_tpu.fitsio import fits_read
+    from pyimcom_tpu.ops.psfmodels import eval_psf_cube
+
+    f = fits_read(str(tmp_path / "psf_polyfit_5.fits"))
+    assert len(f) == 19 and f[0].header["NCOEF"] == 4
+    cube = np.asarray(f[3].data, np.float64)
+    assert cube.shape[0] == 4
+    psf = eval_psf_cube(cube, 100.0, 200.0, nside=4088)
+    assert np.all(np.isfinite(psf)) and psf.sum() > 0
+
+
+def test_writejob_emits_runnable_stage_commands(tmp_path):
+    import json
+
+    import writejob
+
+    cfg = {"BLOCK": 2, "OUT": str(tmp_path / "o")}
+    cfgfile = str(tmp_path / "c.json")
+    with open(cfgfile, "w") as fh:
+        json.dump(cfg, fh)
+    paths = writejob.write_jobs(cfgfile, str(tmp_path / "jobs"))
+    text = "".join(open(p).read() for p in paths if p.endswith(".sh"))
+    # the splitpsf/imsubtract stages point at real CLIs now
+    assert "python -m pyimcom_tpu.splitpsf.splitpsf" in text
+    assert "python -m pyimcom_tpu.splitpsf.imsubtract" in text
+    assert "print('configure" not in text
+    assert "--array=1-18" in text
