@@ -1398,9 +1398,11 @@ class Block:
                 records += self._coadd_group_device(g, d) or []
             in_flight.append(records)
             round_.clear()
-            # keep two rounds in flight: the host plans round k+1 while the
-            # devices compute round k; drain the older round only then
-            if len(in_flight) > 1:
+            # keep PYIMCOM_PIPELINE_DEPTH rounds in flight (default 2): the
+            # host plans round k+1 while the devices compute round k; drain
+            # the oldest round only when the window is full
+            depth = max(1, int(os.environ.get("PYIMCOM_PIPELINE_DEPTH", "2")))
+            while len(in_flight) >= depth:
                 self._drain_group_results(in_flight.pop(0))
 
         for j_st in range(self.j_st_min, self.j_st_max + 1, 2):

@@ -176,18 +176,24 @@ def sample_psf_rotated(geom: PSFGeometry, psf: np.ndarray,
 
 
 def sample_psf_rotated_batch(geom: PSFGeometry, psfs, mapfns,
-                             compute_point_pix) -> np.ndarray:
+                             compute_point_pix, host=None) -> np.ndarray:
     """
     Batched :func:`sample_psf_rotated`: all PSFs of a 2x2 group resample in
-    ONE dense interpolation call (R = n_psf rows) instead of one dispatch
-    chain per PSF -- the per-group host<->device round trips drop ~n_psf x.
+    ONE vectorized interpolation pass instead of one dispatch chain per PSF.
+
+    On accelerators (`host=None` default) the interpolation runs on the HOST
+    in f64 numpy: the samples are consumed by the host-side overlap FFTs
+    anyway, and a device call here would queue behind the previous round's
+    solves on the FIFO device stream -- downloading its result stalls the
+    two-round pipeline (the block's host planning must overlap device
+    compute to hide it).
 
     psfs : list of (ny, nx) arrays (uniform shape).
     mapfns : list of outpix2world2inpix callables (one per PSF's exposure).
     """
     import jax.numpy as jnp
 
-    from .ops.interp import interp2d_dense
+    from .ops.interp import interp2d_dense, interp2d_np
 
     n_psf = len(psfs)
     ny, nx = psfs[0].shape[-2:]
@@ -205,6 +211,18 @@ def sample_psf_rotated_batch(geom: PSFGeometry, psfs, mapfns,
         qx[g] = inpix[:, 0] * geom.oversamp + xctr + INTERP_PAD
         qy[g] = inpix[:, 1] * geom.oversamp + yctr + INTERP_PAD
         stack[g] = np.pad(psf, INTERP_PAD)
+
+    if host is None:
+        host = _use_dense()   # accelerator: keep the host free of device syncs
+    if host:
+        out = np.zeros_like(qx)
+        chunk = 1 << 15       # bound the (N, size, size) patch working set
+        for g in range(n_psf):
+            for s in range(0, qx.shape[1], chunk):
+                out[g, s:s + chunk] = interp2d_np(
+                    stack[g], qx[g, s:s + chunk], qy[g, s:s + chunk],
+                    geom.psfinterp)
+        return out.reshape(n_psf, geom.nsamp, geom.nsamp)
 
     dt = compute_dtype()
     out = interp2d_dense(jnp.asarray(stack, dtype=dt), jnp.asarray(qx),

@@ -151,6 +151,9 @@ def test_sample_psf_rotated_batch_matches_single():
 
     mapfns = [mk(t) for t in ths]
     batch = sample_psf_rotated_batch(geom, psfs, mapfns, [10.0, -3.0])
+    host = sample_psf_rotated_batch(geom, psfs, mapfns, [10.0, -3.0],
+                                    host=True)
     for g in range(3):
         single = sample_psf_rotated(geom, psfs[g], mapfns[g], [10.0, -3.0])
         np.testing.assert_allclose(batch[g], single, rtol=0, atol=1e-11)
+        np.testing.assert_allclose(host[g], single, rtol=0, atol=1e-11)
