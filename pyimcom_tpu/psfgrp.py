@@ -23,6 +23,8 @@ nfft = 2*npixpsf*oversamp, overlap window nsamp (2*nc+1).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .config import Settings as Stn
@@ -108,12 +110,31 @@ class PSFGroup:
         if psf_norm:
             psf_arr = psf_arr / psf_arr.sum(axis=(-2, -1), keepdims=True)
 
-        if _use_dense():
-            # accelerator backends have no complex128, and complex64 FFT
-            # arithmetic injects ~1e-6 absolute noise into the overlap
-            # integrals (enough to push U/C from 4e-7 to 4e-3), so the FFTs
-            # stay on the host in f64; only the final overlap *values* are
-            # cast to f32 for the device interpolation.
+        mode = _overlap_mode()
+        if mode == "device":
+            # accelerator backends have no complex128, and a complex64
+            # Cooley-Tukey FFT injects ~1e-6 absolute noise into the overlap
+            # integrals (enough to push U/C from 4e-7 to 4e-3).  DFT-by-
+            # matmul on the MXU at Precision.HIGHEST reaches ~1e-9 absolute
+            # (ops/dftmm.py), so the spectra live on device as (re, im) f32
+            # pairs and the overlap builds never touch the host.
+            from .ops import dftmm
+
+            dt = compute_dtype()
+            # psf_arr may already be a device array (device sampling path);
+            # jnp.asarray keeps it resident either way
+            xr, xi = dftmm.dft2_real(jnp.asarray(psf_arr, dtype=dt),
+                                     geom.nfft)
+            if amp_penalty and amp_penalty[0] != 0.0 and amp_penalty[1] != 0.0:
+                mult = dftmm.amp_penalty_multiplier(
+                    geom.nfft, amp_penalty[0],
+                    amp_penalty[1] * geom.oversamp, dt)
+                xr = xr * mult
+                xi = xi * mult
+            self.psf_rft = (xr, xi)  # device (re, im) spectra
+        elif mode == "host":
+            # host f64 FFT fallback (PYIMCOM_DEVICE_OVERLAP=0): overlap
+            # values are computed on the host and uploaded per stack.
             npad = geom.nfft - psf_arr.shape[-1]
             rft = np.fft.rfft2(np.pad(psf_arr, ((0, 0), (0, npad), (0, npad))))
             if amp_penalty and amp_penalty[0] != 0.0 and amp_penalty[1] != 0.0:
@@ -176,17 +197,22 @@ def sample_psf_rotated(geom: PSFGeometry, psf: np.ndarray,
 
 
 def sample_psf_rotated_batch(geom: PSFGeometry, psfs, mapfns,
-                             compute_point_pix, host=None) -> np.ndarray:
+                             compute_point_pix, host=None,
+                             as_device=False) -> np.ndarray:
     """
     Batched :func:`sample_psf_rotated`: all PSFs of a 2x2 group resample in
     ONE vectorized interpolation pass instead of one dispatch chain per PSF.
 
-    On accelerators (`host=None` default) the interpolation runs on the HOST
-    in f64 numpy: the samples are consumed by the host-side overlap FFTs
-    anyway, and a device call here would queue behind the previous round's
-    solves on the FIFO device stream -- downloading its result stalls the
-    two-round pipeline (the block's host planning must overlap device
-    compute to hide it).
+    Where it runs depends on where the overlaps are built:
+
+    * device overlap mode (`as_device=True`): the dense device
+      interpolation result is returned AS A DEVICE ARRAY -- it feeds
+      straight into the on-device DFT spectra (ops/dftmm.py), so nothing
+      downloads and nothing stalls the round pipeline.
+    * host overlap mode (`host=None` on accelerators resolves to True):
+      the interpolation runs on the HOST in f64 numpy, because the samples
+      are consumed by host f64 FFTs, and downloading a device result would
+      queue behind the previous round's solves on the FIFO device stream.
 
     psfs : list of (ny, nx) arrays (uniform shape).
     mapfns : list of outpix2world2inpix callables (one per PSF's exposure).
@@ -213,8 +239,8 @@ def sample_psf_rotated_batch(geom: PSFGeometry, psfs, mapfns,
         stack[g] = np.pad(psf, INTERP_PAD)
 
     if host is None:
-        host = _use_dense()   # accelerator: keep the host free of device syncs
-    if host:
+        host = _use_dense() and not as_device
+    if host and not as_device:
         out = np.zeros_like(qx)
         chunk = 1 << 15       # bound the (N, size, size) patch working set
         for g in range(n_psf):
@@ -227,7 +253,8 @@ def sample_psf_rotated_batch(geom: PSFGeometry, psfs, mapfns,
     dt = compute_dtype()
     out = interp2d_dense(jnp.asarray(stack, dtype=dt), jnp.asarray(qx),
                          jnp.asarray(qy), geom.psfinterp)
-    return np.asarray(out).reshape(n_psf, geom.nsamp, geom.nsamp)
+    out = out.reshape(n_psf, geom.nsamp, geom.nsamp)
+    return out if as_device else np.asarray(out)
 
 
 def sample_psf_unrotated(geom: PSFGeometry, psfs: np.ndarray) -> np.ndarray:
@@ -263,6 +290,16 @@ def build_overlap_stack(geom: PSFGeometry, grp1: PSFGroup, grp2: PSFGroup | None
     import jax.numpy as jnp
 
     g2 = grp2 if grp2 is not None else grp1
+    if isinstance(grp1.psf_rft, tuple):
+        # device (re, im) spectra: the whole build runs on the MXU
+        # (ops/dftmm.py) and nothing is uploaded per stack.
+        from .ops import dftmm
+
+        x1r, x1i = grp1.psf_rft
+        x2r, x2i = g2.psf_rft
+        with _phase("psf.overlap_dft"):
+            return _sync(dftmm.overlap_from_spectra(
+                x1r, x1i, x2r, x2i, geom.nfft, geom.novl, INTERP_PAD))
     if isinstance(grp1.psf_rft, np.ndarray):
         # host f64 path (accelerators; see PSFGroup.__init__)
         with _phase("psf.overlap_fft_host"):
@@ -287,6 +324,12 @@ def build_overlap_stack(geom: PSFGeometry, grp1: PSFGroup, grp2: PSFGroup | None
 
 def outpsf_C_values(geom: PSFGeometry, outgrp: PSFGroup) -> np.ndarray:
     """Target normalizations C: zero-lag self-overlap per output PSF."""
+    if isinstance(outgrp.psf_rft, tuple):
+        from .ops import dftmm
+
+        xr, xi = outgrp.psf_rft
+        return np.asarray(dftmm.zero_lag_from_spectra(xr, xi, geom.nfft),
+                          dtype=np.float64)
     if isinstance(outgrp.psf_rft, np.ndarray):
         corr = np.fft.irfft2(outgrp.psf_rft * np.conj(outgrp.psf_rft),
                              s=(geom.nfft, geom.nfft))
@@ -300,6 +343,22 @@ def _use_dense() -> bool:
     import jax
 
     return jax.default_backend() != "cpu"
+
+
+def _overlap_mode() -> str:
+    """
+    Where PSF overlap stacks are built: "device" (DFT-by-matmul spectra,
+    ops/dftmm.py) or "host" (f64 FFTs + per-stack upload) or "cpu"
+    (complex FFTs through the CPU jit path).  PYIMCOM_DEVICE_OVERLAP
+    overrides: 0 -> host FFTs on accelerators, 1 -> device spectra even on
+    the CPU backend (used by the equivalence tests).
+    """
+    env = os.environ.get("PYIMCOM_DEVICE_OVERLAP", "auto")
+    if env == "1":
+        return "device"
+    if _use_dense():
+        return "host" if env == "0" else "device"
+    return "cpu"
 
 
 # query-count buckets and per-bucket rectangle batch sizes for the dense

@@ -124,3 +124,15 @@ def test_parser_templates():
     assert _parser("a/Q_02_31.fits") == "a/Q_02_31.fits"
     assert _parser("a/Row{1:d}/Q_{0:02d}_{1:02d}^_02_31.fits") == "a/Row31/Q_02_31.fits"
     assert _parser("a/Row{1:d}/Q_{0:02d}_{1:02d}^_02_12.fits.gz") == "a/Row12/Q_02_12.fits.gz"
+
+
+def test_fname_errors():
+    """File-name error contracts (reference test_fname.py)."""
+    import pytest
+
+    from pyimcom_tpu.compress.compressutils import CompressedOutput, ReadFile
+
+    with pytest.raises(Exception, match="unrecognized file type"):
+        CompressedOutput("unknown_file")
+    with pytest.raises(ValueError, match="Scheme notascheme not supported"):
+        ReadFile("notascheme://testonly/test.test")

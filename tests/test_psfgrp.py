@@ -157,3 +157,30 @@ def test_sample_psf_rotated_batch_matches_single():
         single = sample_psf_rotated(geom, psfs[g], mapfns[g], [10.0, -3.0])
         np.testing.assert_allclose(batch[g], single, rtol=0, atol=1e-11)
         np.testing.assert_allclose(host[g], single, rtol=0, atol=1e-11)
+
+
+def test_overlap_spectra_matches_host_fft(monkeypatch):
+    """DFT-by-matmul overlap stacks == host f64 FFT stacks (ops/dftmm.py)."""
+    from pyimcom_tpu import psfgrp
+    from pyimcom_tpu.psfgrp import PSFGeometry, PSFGroup, build_overlap_stack, \
+        outpsf_C_values
+
+    rng = np.random.default_rng(3)
+    geom = PSFGeometry(npixpsf=8, oversamp=4, dtheta=0.04 / 3600)
+    psfs = rng.random((3, geom.nsamp, geom.nsamp))
+    psfs /= psfs.sum(axis=(1, 2), keepdims=True)
+
+    monkeypatch.setenv("PYIMCOM_DEVICE_OVERLAP", "0")
+    monkeypatch.setattr(psfgrp, "_use_dense", lambda: True)
+    g_host = PSFGroup(geom, psfs.copy(), amp_penalty=(0.1, 0.5))
+    s_host = np.asarray(build_overlap_stack(geom, g_host, None))
+    c_host = np.asarray(outpsf_C_values(geom, g_host))
+
+    monkeypatch.setenv("PYIMCOM_DEVICE_OVERLAP", "1")
+    g_dev = PSFGroup(geom, psfs.copy(), amp_penalty=(0.1, 0.5))
+    assert isinstance(g_dev.psf_rft, tuple)
+    s_dev = np.asarray(build_overlap_stack(geom, g_dev, None))
+    c_dev = np.asarray(outpsf_C_values(geom, g_dev))
+
+    np.testing.assert_allclose(s_dev, s_host, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(c_dev, c_host, rtol=0, atol=1e-12)
