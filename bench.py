@@ -171,12 +171,16 @@ def main():
     else:
         cfg_dict = json.loads((workdir / "cfg.json").read_text())
 
-    # the accelerator coadds the FULL 16-stamp block (fixed block setup is
-    # amortized exactly as in production); the CPU baseline runs 4 stamps
-    # and is extrapolated through the same blocks/hour formula (which only
-    # flatters the baseline: its fixed setup is counted four times)
+    # the accelerator coadds the FULL 16-stamp block.  The CPU baseline is
+    # too slow for a full block here, so its 16-stamp block time is
+    # extrapolated SYMMETRICALLY: run stop=4 and stop=8, take the marginal
+    # per-stamp cost from the difference (fixed per-block setup cancels),
+    # and charge the fixed setup exactly once:
+    #   t_block(cpu) = fixed + 16 * marginal
+    # With --full the CPU also runs the full block and no extrapolation
+    # happens.
     stop_dev, nrun_dev = 0, 16
-    stop_cpu, nrun_cpu = (0, 16) if args.full else (4, 4)
+    cpu_full = bool(args.full)
     platform = jax.default_backend()
     note = ""
     signal.signal(signal.SIGALRM, _alarm)
@@ -201,16 +205,26 @@ def main():
     # CPU measurement (the baseline, and the fallback result)
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        run_region(cfg_dict, stop=stop_cpu, out_suffix="_cpu")
-        dt_cpu = run_region(cfg_dict, stop=stop_cpu, out_suffix="_cpu")
+        if cpu_full:
+            run_region(cfg_dict, stop=0, out_suffix="_cpu")  # warm compiles
+            t_block_cpu = run_region(cfg_dict, stop=0, out_suffix="_cpu")
+            cpu_note = "full block"
+        else:
+            run_region(cfg_dict, stop=4, out_suffix="_cpu")  # warm compiles
+            dt4 = run_region(cfg_dict, stop=4, out_suffix="_cpu")
+            dt8 = run_region(cfg_dict, stop=8, out_suffix="_cpu")
+            marginal = max((dt8 - dt4) / 4.0, 0.0)
+            fixed = max(dt4 - 4.0 * marginal, 0.0)
+            t_block_cpu = fixed + 16.0 * marginal
+            cpu_note = "16-stamp extrapolation from 4+8-stamp runs"
         if dt is None:
             SL1, uc_med = quality_check(
                 cfg_dict["OUT"] + f"_cpu_{ibx:02d}_{iby:02d}.fits")
 
-    cpu_bph = 3600.0 / (dt_cpu * 16.0 / nrun_cpu)
+    cpu_bph = 3600.0 / t_block_cpu
     if dt is None:
-        dt = dt_cpu
-        nrun = nrun_cpu
+        dt = t_block_cpu
+        nrun = 16
         vs_baseline = 1.0
     else:
         nrun = nrun_dev
@@ -222,7 +236,7 @@ def main():
         "value": round(blocks_per_hour, 3),
         "unit": f"synthetic 100px blocks/hour on {platform} "
                 f"({nrun}/16 stamps, SL1={SL1:.5f}, U/C med={uc_med:.1e}; "
-                f"cpu baseline {cpu_bph:.2f} b/h at {nrun_cpu}/16)" + note,
+                f"cpu baseline {cpu_bph:.2f} b/h, {cpu_note})" + note,
         "vs_baseline": round(vs_baseline, 3),
     }))
 

@@ -1160,6 +1160,13 @@ class Block:
         pending = _psfgrp._interp_rects_enqueue(rects, xt, yt,
                                                 1.0 / geom.dscale, off_grid,
                                                 kern, device=device)
+        # scatter metadata is int32: a destination index >= 2**31 would wrap
+        # negative and mode='drop' would silently discard the write (ADVICE r2)
+        if max(pool_size, n_pad * n_pad, n_out * m * n_pad) >= 2 ** 31:
+            raise ValueError(
+                f"device-assembly pool too large for int32 scatter indices "
+                f"(pool_size={pool_size}, B size={n_out * m * n_pad}); "
+                f"reduce group size / INPAD or use the host assembly path")
         with _phase("stamp.scatter"):
             pool_holder = {"arr": assemble.zeros_on(max(pool_size, 1), dt, device),
                            "device": device, "reps": {}}
@@ -1383,8 +1390,12 @@ class Block:
         if ((self.j_st_max + 1 - self.j_st_min) % 2 == 1
                 or (self.i_st_max + 1 - self.i_st_min) % 2 == 1):
             raise ValueError(
-                f"Size must be even: y={self.j_st_min}..{self.j_st_max}, "
-                f"x={self.i_st_min}..{self.i_st_max}")
+                f"Stamp span must be even per axis for 2x2 PSF-group "
+                f"iteration: y={self.j_st_min}..{self.j_st_max}, "
+                f"x={self.i_st_min}..{self.i_st_max}. Check the PAD / "
+                f"PADSIDES config parity (n1 + pads must be even, as in the "
+                f"production PAD=2 configs). The reference silently iterates "
+                f"past the boundary here (coadd.py:2052-2060); we fail fast.")
 
         use_device = (not sim_mode) and self._device_path_enabled()
         devices = self._stamp_devices() if use_device else [None]

@@ -145,6 +145,7 @@ class NoiseReport(ReportSection):
             kc, pk = NoiseAnal(oi, layer=il).power_spectrum()
             ax.loglog(kc[1:], pk[1:], label=spec)
             text_lines.append(f"{spec} white-level {np.median(pk[len(pk)//2:]):.4e}")
+            found = True  # the basic spectrum is already on fig
             # reference-style physically normalized 1D + binned 2D spectra
             # (reference NoiseAnal.__call__, analysis.py:745-808)
             na = NoiseAnal(oi, layer=spec)
@@ -168,7 +169,6 @@ class NoiseReport(ReportSection):
             text_lines.append(
                 f"{spec} ps1d " + " ".join(f"{v:.5e}" for v in na.ps1d[:, 0]))
             na.clear()
-            found = True
         if not found:
             plt.close(fig)
             return

@@ -251,6 +251,40 @@ def compute_boundary_continuity_penalty(destriped_image, mask, amp_cols,
     return col_boundary_const * pen
 
 
+def boundary_continuity_penalty_grad_image(destriped_image, mask, amp_cols,
+                                           col_boundary_const, chunk_width=50,
+                                           chunk_height=100):
+    """
+    d(penalty)/d(destriped_image): for each chunk pair the penalty is
+    kappa * (mean(lv[lm]) - mean(rv[rm]))^2, so the gradient places
+    +2*kappa*d/N_l on masked left pixels and -2*kappa*d/N_r on masked right
+    pixels.  (The reference carries this penalty in the cost only,
+    imdestripe.py:1413-1490; here it also steers the CG direction so the
+    COLBOUNDARY knob is functional.)
+    """
+    g = np.zeros_like(destriped_image)
+    if not amp_cols or amp_cols <= 0 or col_boundary_const <= 0:
+        return g
+    n_rows, n_cols = destriped_image.shape
+    n_blocks = n_cols // amp_cols
+    for b in range(1, n_blocks):
+        lo = max(b * amp_cols - chunk_width, 0)
+        hi = min(b * amp_cols + chunk_width, n_cols)
+        for c0 in range(0, n_rows, 4 * chunk_height):
+            c1 = min(c0 + chunk_height, n_rows)
+            lm = mask[c0:c1, lo:b * amp_cols]
+            rm = mask[c0:c1, b * amp_cols:hi]
+            if not (np.any(lm) and np.any(rm)):
+                continue
+            lv = destriped_image[c0:c1, lo:b * amp_cols]
+            rv = destriped_image[c0:c1, b * amp_cols:hi]
+            d = np.mean(lv[lm]) - np.mean(rv[rm])
+            coef = 2.0 * col_boundary_const * d
+            g[c0:c1, lo:b * amp_cols] += coef * lm / lm.sum()
+            g[c0:c1, b * amp_cols:hi] -= coef * rm / rm.sum()
+    return g
+
+
 # ---------------------------------------------------------------------------
 # stripe parameter model
 # ---------------------------------------------------------------------------
@@ -475,6 +509,15 @@ class DestripeProblem:
             # direct term: d r / d params_i = -forward_par' -> -transpose_par
             gi = -transpose_par(fp, self._cfg_like())
             grad[self.offsets[i]:self.offsets[i + 1]] += gi
+            # boundary-continuity penalty term (cost() adds it, so the CG
+            # direction must see its gradient too; mask convention matches)
+            if self.amp_cols and self.col_boundary_const > 0:
+                m = self.mask[i] if self.mask is not None \
+                    else self.scas[i].mask
+                gb = boundary_continuity_penalty_grad_image(
+                    imgs[i], m, self.amp_cols, self.col_boundary_const)
+                grad[self.offsets[i]:self.offsets[i + 1]] += \
+                    -transpose_par(gb, self._cfg_like())
             # neighbor terms: dJ_i/dparams_j = -interp(forward_par)/count
             _, cnt = self._interp_count(i)
             fp_n = np.where(cnt > 0, fp / np.maximum(cnt, 1), 0.0)

@@ -160,6 +160,7 @@ def _compare_outputs(out_a, out_b, atol_sci):
                                rtol=0, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_device_path_matches_host_path(small_survey, monkeypatch):
     """STOP=6 covers one full 2x2 group plus two stamps of the next group,
     exercising fresh pools, cross-group pool reuse, selection maps, the
@@ -170,6 +171,7 @@ def test_device_path_matches_host_path(small_survey, monkeypatch):
     _compare_outputs(out_h, out_d, atol_sci=1e-8)
 
 
+@pytest.mark.slow
 def test_multi_device_rounds_match_single_device(small_survey, monkeypatch):
     """Groups scattered over 4 virtual devices produce the same block as a
     single device (stamp-level data parallelism; VERDICT round-1 item 1)."""

@@ -18,6 +18,8 @@ from pyimcom_tpu.coadd import Block
 from pyimcom_tpu.fitsio import fits_read
 from pyimcom_tpu.wcsutil import WCS
 
+pytestmark = pytest.mark.slow  # full block coadds (minutes on 1-core host)
+
 
 @pytest.fixture(scope="module")
 def block_run(tmp_path_factory):

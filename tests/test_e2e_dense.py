@@ -7,6 +7,7 @@ reproduce the gather-path coadd to interpolation roundoff.
 """
 
 import numpy as np
+import pytest
 
 from survey_fixture import build_survey
 
@@ -14,6 +15,8 @@ import pyimcom_tpu.psfgrp as psfgrp
 from pyimcom_tpu.coadd import Block
 from pyimcom_tpu.config import Config
 from pyimcom_tpu.fitsio import fits_read
+
+pytestmark = pytest.mark.slow  # full block coadds (minutes on 1-core host)
 
 
 def test_dense_fused_matches_gather(tmp_path, monkeypatch):

@@ -13,6 +13,8 @@ from pyimcom_tpu.fitsio import fits_read
 from pyimcom_tpu.layer import _shear_matrix
 from pyimcom_tpu.utils.moments import find_adaptive_moments
 
+pytestmark = pytest.mark.slow  # full block coadds (minutes on 1-core host)
+
 
 @pytest.fixture(scope="module")
 def galaxy_block(tmp_path_factory):

@@ -237,6 +237,46 @@ def test_boundary_continuity_penalty():
     assert compute_boundary_continuity_penalty(img, mask, 32, 0.0) == 0.0
 
 
+def test_boundary_penalty_gradient_finite_difference():
+    """Analytic image-space gradient of the boundary penalty matches a
+    central finite difference (ADVICE r2: COLBOUNDARY must steer CG)."""
+    from pyimcom_tpu.imdestripe import (
+        boundary_continuity_penalty_grad_image,
+        compute_boundary_continuity_penalty)
+
+    rng = np.random.default_rng(7)
+    img = rng.normal(size=(100, 64))
+    mask = rng.random((100, 64)) > 0.2
+    kw = dict(amp_cols=32, col_boundary_const=1.7,
+              chunk_width=16, chunk_height=40)
+    g = boundary_continuity_penalty_grad_image(img, mask, **kw)
+    h = 1e-6
+    for (r, c) in [(3, 20), (50, 31), (10, 40), (97, 47), (5, 5)]:
+        d = np.zeros_like(img)
+        d[r, c] = h
+        fd = (compute_boundary_continuity_penalty(img + d, mask, **kw)
+              - compute_boundary_continuity_penalty(img - d, mask, **kw)) / (2 * h)
+        assert abs(fd - g[r, c]) < 1e-6 * max(1.0, abs(fd)), (r, c, fd, g[r, c])
+
+
+def test_cost_gradient_consistent_with_boundary_penalty():
+    """End-to-end: DestripeProblem.gradient matches finite differences of
+    cost() when the boundary penalty is active."""
+    rng = np.random.default_rng(11)
+    stripes = [rng.normal(scale=0.1, size=SIZE) for _ in range(3)]
+    base = _make_problem(stripes)
+    prob = DestripeProblem(base.scas, base.neighbors,
+                           amp_cols=SIZE // 2, col_boundary_const=5.0)
+    p = rng.normal(scale=0.01, size=prob.offsets[-1])
+    g = prob.gradient(p)
+    for idx in [3, 57, 150]:
+        h = 1e-6
+        dp = np.zeros_like(p)
+        dp[idx] = h
+        fd = (prob.cost(p + dp) - prob.cost(p - dp)) / (2 * h)
+        assert abs(fd - g[idx]) < 1e-4 * max(1.0, abs(fd)), (idx, fd, g[idx])
+
+
 @pytest.mark.parametrize("beta_model", ["FR", "PR", "HS", "DY"])
 def test_stripe_recovery_all_beta_models(beta_model):
     """All four CG direction updates (reference imdestripe.py:2147-2162)
