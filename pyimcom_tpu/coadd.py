@@ -49,6 +49,19 @@ from .wcsutil import WCS, make_block_wcs
 
 SOLVE_BUCKET = 128
 
+# metadata row/batch counts are padded onto this ~1.5x geometric ladder so
+# the fused scatter programs compile for only a handful of distinct shapes
+_PAD_LADDER = tuple(sorted({1 << p for p in range(3, 22)}
+                           | {3 << p for p in range(2, 21)}))
+
+
+def _scan_pad(n: int) -> int:
+    """Smallest ladder value >= n (bounds distinct compiled shapes)."""
+    for v in _PAD_LADDER:
+        if v >= n:
+            return v
+    return n
+
 
 class _SubmatStore:
     """
@@ -965,7 +978,6 @@ class Block:
         return "monolithic"
 
     CHUNK = 16384       # scatter chunk length (static bucket)
-    CHUNK_ROWS = 32     # metadata rows per scatter call
 
     def _dev_replica(self, cache_dict, key, arr, device):
         """Per-device replica of a cached device array (cross-device reuse).
@@ -1035,7 +1047,7 @@ class Block:
         m = n2f * n2f
         dt = _psfgrp.compute_dtype()
         kern = geom.psfinterp
-        CH, CR = self.CHUNK, self.CHUNK_ROWS
+        CH = self.CHUNK
 
         infos = []
         for (j_st, i_st) in group:
@@ -1096,12 +1108,26 @@ class Block:
                     seen.add(k)
                     keys_union.append(k)
 
-        rects = []       # sweep rects
-        rect_dst = []    # aligned destinations: ("P", dst_base0, n2sub) or
-                         # ("B", s_idx, dst_base, col0)
+        # per-rect plan columns (python lists of scalars; vectorized below)
+        r_kg, r_i1, r_w1, r_i2, r_w2 = [], [], [], [], []
+        r_kind, r_a, r_b = [], [], []    # kind 0: pool (a=dst_base0, b=n2s);
+                                         # kind 1: B    (a=dstB_base, b=col0)
+        stack_off = {}
+        stacks = []
+        stot = 0
+
+        def _stack_base(stk):
+            nonlocal stot
+            if id(stk) not in stack_off:
+                stack_off[id(stk)] = stot
+                stacks.append(stk)
+                stot += stk.shape[0]
+            return stack_off[id(stk)]
+
         pool_size = 0
-        fp_meta = []     # flat-penalty constant rects: (meta5, const)
+        fp_rows = []     # flat-penalty constant rects: (meta5 rows, const)
         fresh = {}       # key -> (base, n1sub, n2sub, ji_row, ji_col, okey)
+        nBflat = n_out * m * n_pad       # per-stamp flat B length
         for key in keys_union:
             if key in self._dev_submat or key in self._submat_computed:
                 continue
@@ -1111,6 +1137,7 @@ class Block:
             okey = (gp1, gp2) if not swap else (gp2, gp1)
             stack, grpa, grpb = self._get_ii_overlap(*okey)
             stack = self._dev_replica(self._ovl_reps, okey, stack, device)
+            sbase = _stack_base(stack)
             if gp1 == gp2:
                 n_in_eff = grpa.n_psf
             else:
@@ -1126,15 +1153,20 @@ class Block:
                 for im2, s2, e2 in _psfgrp._image_runs(st2.img_idx):
                     k = int(grpa.idx_blk2grp[im1]) * grpb.n_psf \
                         + int(grpb.idx_blk2grp[im2])
-                    rects.append((stack, k, base_full[jA] + s1, e1 - s1,
-                                  base_full[jB] + s2, e2 - s2))
                     dst_base0 = base + s1 * n2s + s2
-                    rect_dst.append(("P", dst_base0, n2s))
+                    r_kg.append(sbase + k)
+                    r_i1.append(base_full[jA] + s1)
+                    r_w1.append(e1 - s1)
+                    r_i2.append(base_full[jB] + s2)
+                    r_w2.append(e2 - s2)
+                    r_kind.append(0)
+                    r_a.append(dst_base0)
+                    r_b.append(n2s)
                     if fp != 0.0:
                         const = -fp / n_in_eff + fp * (im1 == im2)
                         nq = (e1 - s1) * (e2 - s2)
                         for off in range(0, nq, CH):
-                            fp_meta.append(((dst_base0, e2 - s2, n2s, off,
+                            fp_rows.append(((dst_base0, e2 - s2, n2s, off,
                                              min(CH, nq - off)), const))
 
         # ---- io rectangles (selected pixels x output grid), per stamp ------
@@ -1145,67 +1177,108 @@ class Block:
                 gp_io = group_of(ji)
                 stack, grp = self._get_io_overlap(gp_io)
                 stack = self._dev_replica(self._io_reps, gp_io, stack, device)
+                sbase = _stack_base(stack)
                 col_base = int(info["cumsum"][idx])
                 for im1, s1, e1 in _psfgrp._image_runs(info["imgs"][idx]):
                     for j_out in range(n_out):
                         k = int(grp.idx_blk2grp[im1]) * n_out + j_out
-                        rects.append((stack, k, base_sel[s_idx][idx] + s1,
-                                      e1 - s1, base_out[s_idx], m))
-                        rect_dst.append(("B", s_idx, j_out * m * n_pad,
-                                         col_base + s1))
-        _plan.__exit__(None, None, None)
+                        r_kg.append(sbase + k)
+                        r_i1.append(base_sel[s_idx][idx] + s1)
+                        r_w1.append(e1 - s1)
+                        r_i2.append(base_out[s_idx])
+                        r_w2.append(m)
+                        r_kind.append(1)
+                        r_a.append(s_idx * nBflat + j_out * m * n_pad)
+                        r_b.append(col_base + s1)
 
-        # ---- ONE sweep; scatter values into pool / B tensors ----------------
-        off_grid = geom.nc_ovl + _psfgrp.INTERP_PAD
-        pending = _psfgrp._interp_rects_enqueue(rects, xt, yt,
-                                                1.0 / geom.dscale, off_grid,
-                                                kern, device=device)
+        # ---- vectorized piece/batch construction ---------------------------
         # scatter metadata is int32: a destination index >= 2**31 would wrap
         # negative and mode='drop' would silently discard the write (ADVICE r2)
-        if max(pool_size, n_pad * n_pad, n_out * m * n_pad) >= 2 ** 31:
+        if max(pool_size, n_pad * n_pad, len(infos) * nBflat) >= 2 ** 31:
             raise ValueError(
                 f"device-assembly pool too large for int32 scatter indices "
-                f"(pool_size={pool_size}, B size={n_out * m * n_pad}); "
+                f"(pool_size={pool_size}, B size={len(infos) * nBflat}); "
                 f"reduce group size / INPAD or use the host assembly path")
+        r_kg = np.asarray(r_kg, np.int32)
+        r_i1 = np.asarray(r_i1, np.int32)
+        r_w1 = np.asarray(r_w1, np.int32)
+        r_i2 = np.asarray(r_i2, np.int32)
+        r_w2 = np.asarray(r_w2, np.int32)
+        r_kind = np.asarray(r_kind, np.int32)
+        r_a = np.asarray(r_a, np.int32)
+        r_b = np.asarray(r_b, np.int32)
+        live = (r_w1 > 0) & (r_w2 > 0)
+        nq_all = (r_w1 * r_w2)[live]
+        maxb = _psfgrp._DENSE_BUCKETS[-1]
+        npc = -(-nq_all // maxb)
+        rect_id = np.repeat(np.flatnonzero(live), npc)
+        first = np.concatenate([[0], np.cumsum(npc)])[:-1].astype(np.int64)
+        p_off = ((np.arange(npc.sum(), dtype=np.int64)
+                  - np.repeat(first, npc)) * maxb).astype(np.int32)
+        p_nval = np.minimum(maxb, (r_w1 * r_w2)[rect_id] - p_off).astype(np.int32)
+        buckets_arr = np.asarray(_psfgrp._DENSE_BUCKETS, np.int32)
+        p_bidx = np.searchsorted(buckets_arr, p_nval)
+        _plan.__exit__(None, None, None)
+
+        # ---- the fused sweep: ONE compiled scan per bucket size ------------
+        off_grid = geom.nc_ovl + _psfgrp.INTERP_PAD
         with _phase("stamp.scatter"):
-            pool_holder = {"arr": assemble.zeros_on(max(pool_size, 1), dt, device),
+            dt_np = np.dtype(dt)
+            combined = self._group_combined_stack(stacks, dt, device)
+            L = len(xt)
+            Lp = max(_psfgrp._TABLE_PAD, -(-L // _psfgrp._TABLE_PAD)
+                     * _psfgrp._TABLE_PAD)
+            xt_d = put(np.pad(np.asarray(xt, np.float64), (0, Lp - L)))
+            yt_d = put(np.pad(np.asarray(yt, np.float64), (0, Lp - L)))
+
+            pool_holder = {"arr": assemble.zeros_on(max(pool_size, 1), dt,
+                                                    device),
                            "device": device, "reps": {}}
-            B_holders = [[assemble.zeros_on(n_out * m * n_pad, dt, device)]
-                         for _ in infos]
-            for batch, dev_vals in pending:
-                R = dev_vals.shape[0]
-                bucket = dev_vals.shape[1]
-                meta_pool = np.zeros((R, 5), dtype=np.int32)
-                metas_B = {}
-                any_pool = False
-                for j, (rid, off, _kg, _i1, _i2, w2, nval, _b) in enumerate(batch):
-                    dst = rect_dst[rid]
-                    if dst[0] == "P":
-                        meta_pool[j] = (dst[1], w2, dst[2], off, nval)
-                        any_pool = True
-                    else:
-                        _tag, s_idx, dst_base, col0 = dst
-                        mb = metas_B.setdefault(
-                            s_idx, np.zeros((R, 4), dtype=np.int32))
-                        mb[j] = (dst_base, col0, off, nval)
-                if any_pool:
-                    pool_holder["arr"] = assemble.scatter_pool(
-                        pool_holder["arr"], dev_vals, put(meta_pool), bucket)
-                for s_idx, mb in metas_B.items():
-                    B_holders[s_idx][0] = assemble.scatter_B(
-                        B_holders[s_idx][0], dev_vals, put(mb),
-                        bucket, n_pad, m)
+            Bflat = assemble.zeros_on(max(len(infos) * nBflat, 1), dt, device)
+            for bidx, bucket in enumerate(_psfgrp._DENSE_BUCKETS):
+                sel = np.flatnonzero(p_bidx == bidx)
+                if not len(sel):
+                    continue
+                rbatch = _psfgrp._DENSE_RBATCH_BY_BUCKET[bucket]
+                NB = _scan_pad(-(-len(sel) // rbatch))
+                tot = NB * rbatch
+                rid = rect_id[sel]
+                ks = np.zeros(tot, np.int32)
+                imeta = np.zeros((tot, 5), np.int32)
+                imeta[:, 2] = 1  # width placeholder for padded rows
+                pmeta = np.zeros((tot, 5), np.int32)
+                bmeta = np.zeros((tot, 4), np.int32)
+                npc_ = len(sel)
+                ks[:npc_] = r_kg[rid]
+                imeta[:npc_] = np.stack(
+                    [r_i1[rid], r_i2[rid], r_w2[rid], p_off[sel],
+                     p_nval[sel]], axis=1)
+                isp = r_kind[rid] == 0
+                pm = pmeta[:npc_]
+                pm[isp] = np.stack(
+                    [r_a[rid][isp], r_w2[rid][isp], r_b[rid][isp],
+                     p_off[sel][isp], p_nval[sel][isp]], axis=1)
+                bm = bmeta[:npc_]
+                bm[~isp] = np.stack(
+                    [r_a[rid][~isp], r_b[rid][~isp], p_off[sel][~isp],
+                     p_nval[sel][~isp]], axis=1)
+                pool_holder["arr"], Bflat = assemble.sweep_scatter_scan(
+                    pool_holder["arr"], Bflat, combined, xt_d, yt_d,
+                    put(ks.reshape(NB, rbatch)),
+                    put(imeta.reshape(NB, rbatch, 5)),
+                    put(pmeta.reshape(NB, rbatch, 5)),
+                    put(bmeta.reshape(NB, rbatch, 4)),
+                    1.0 / geom.dscale, off_grid, bucket, kern, n_pad, m)
             # flat-field penalty constants over the fresh submatrices
-            for i0 in range(0, len(fp_meta), CR):
-                chunk = fp_meta[i0:i0 + CR]
-                meta = np.zeros((CR, 5), dtype=np.int32)
-                consts = np.zeros(CR, dtype=np.float64)
-                for j, (mrow, c) in enumerate(chunk):
-                    meta[j] = mrow
-                    consts[j] = c
+            if fp_rows:
+                R = _scan_pad(len(fp_rows))
+                meta = np.zeros((R, 5), np.int32)
+                consts = np.zeros(R, np.float64)
+                meta[:len(fp_rows)] = [mrow for mrow, _c in fp_rows]
+                consts[:len(fp_rows)] = [c for _m, c in fp_rows]
                 pool_holder["arr"] = assemble.scatter_pool_constant(
-                    pool_holder["arr"], put(consts.astype(dt)),
-                    put(meta), self.CHUNK)
+                    pool_holder["arr"], put(consts.astype(dt_np)),
+                    put(meta), CH)
 
         # register fresh submatrices; release their overlap-stack references
         for key, (base, n1s, n2s, jA, jB, okey) in fresh.items():
@@ -1214,22 +1287,18 @@ class Block:
             self._submat_computed.add(key)
             self._release_ii_overlap(*okey)
 
-        # ---- per-stamp A assembly + solve + coadd (all async) --------------
-        results = []
-        fade = put(np.asarray(self._fade_vec(), dtype=np.dtype(dt)))
-        dummy_rel = put(np.zeros((1, 1), dtype=bool))
+        # ---- group A assembly: one scatter call per (pool, symmetry) -------
+        S = len(infos)
         solver = self._solver_name()
-        exact_UC = len(cfg.kappaC_arr) > 1
-        kappaC = put(np.asarray(cfg.kappaC_arr, dtype=np.float64))
-        C = put(np.asarray(self.outovlc, dtype=np.float64))
         with _phase("stamp.assembleA"):
+            sel_parts = []
+            sel_off = {}     # (s_idx, ji) -> offset into the group selmap
+            sc = 0
+            diag = np.zeros((S, n_pad), dtype=dt_np)
+            calls = {}
             for s_idx, (j_st, i_st, info) in enumerate(infos):
                 ji_in_s = info["ji_in_s"]
                 counts, cumsum = info["counts"], info["cumsum"]
-                # selection map: per neighbor instamp, local pixel -> A slot
-                sel_off = {}
-                sel_parts = []
-                sc = 0
                 for idx, ji in enumerate(ji_in_s):
                     st = self.instamps[ji]
                     local = np.full(st.n_pix, -1, dtype=np.int32)
@@ -1238,100 +1307,125 @@ class Block:
                         local[:] = cumsum[idx] + np.arange(counts[idx])
                     else:
                         local[sel] = cumsum[idx] + np.arange(len(sel))
-                    sel_off[ji] = sc
+                    sel_off[(s_idx, ji)] = sc
                     sel_parts.append(local)
                     sc += st.n_pix
-                selmap = put(np.concatenate(sel_parts))
-
-                # identity diagonal on PADDED slots only (padding convention:
-                # pad A with 1 on the diagonal; real entries come from the
-                # scatters)
-                diag = (np.arange(n_pad) >= info["n"]).astype(np.dtype(dt))
-                A_holder = [assemble.init_A(put(diag), n_pad)]
-                # group scatter rows by (source pool, symmetric?) per call
-                calls = {}
+                # identity diagonal on PADDED slots only (padding convention)
+                diag[s_idx] = np.arange(n_pad) >= info["n"]
+                dstA_base = s_idx * n_pad * n_pad
                 for ji in ji_in_s:
                     key = (ji, ji)
-                    rec = self._dev_submat[key]
-                    self._enqueue_submat_rows(calls, rec, sel_off, False, device)
+                    self._enqueue_submat_rows(calls, self._dev_submat[key],
+                                              sel_off, s_idx, dstA_base,
+                                              False, device)
                     self._drop_dev_ref(key)
                 for ja, jb in combinations(ji_in_s, 2):
                     key = (ja, jb) if ja <= jb else (jb, ja)
-                    rec = self._dev_submat[key]
-                    self._enqueue_submat_rows(calls, rec, sel_off, True, device)
+                    self._enqueue_submat_rows(calls, self._dev_submat[key],
+                                              sel_off, s_idx, dstA_base,
+                                              True, device)
                     self._drop_dev_ref(key)
-                for (hid, sym), (holder, rows) in calls.items():
-                    fn = assemble.pool_to_A_sym if sym else assemble.pool_to_A
-                    for i0 in range(0, len(rows), CR):
-                        chunk = rows[i0:i0 + CR]
-                        meta = np.zeros((CR, 6), dtype=np.int32)
-                        for j, r in enumerate(chunk):
-                            meta[j] = r
-                        A_holder[0] = fn(A_holder[0], holder["arr"],
-                                         put(meta), selmap, CH, n_pad)
+            selmap = put(np.concatenate(sel_parts))
+            A_flat = assemble.init_A_batch(put(diag), n_pad)
+            for (hid, sym), (holder, rows) in calls.items():
+                fn = assemble.pool_to_A_sym if sym else assemble.pool_to_A
+                R = _scan_pad(len(rows))
+                meta = np.zeros((R, 7), np.int32)
+                meta[:len(rows)] = rows
+                A_flat = fn(A_flat, holder["arr"], put(meta), selmap,
+                            CH, n_pad)
 
-                # per-stamp data, image one-hot
+        # ---- batched solve + coadd: one dispatch for the whole group -------
+        with _phase("stamp.solve"):
+            fade = put(np.asarray(self._fade_vec(), dtype=dt_np))
+            exact_UC = len(cfg.kappaC_arr) > 1
+            kappaC = put(np.asarray(cfg.kappaC_arr, dtype=np.float64))
+            C = put(np.asarray(self.outovlc, dtype=np.float64))
+            data = np.zeros((S, cfg.n_inframe, n_pad), dtype=np.float32)
+            onehot = np.zeros((S, n_pad, self.n_inimage), dtype=np.float32)
+            for s_idx, (_j, _i, info) in enumerate(infos):
                 n = info["n"]
-                data = np.zeros((cfg.n_inframe, n_pad), dtype=np.float32)
-                data[:, :n] = np.concatenate(info["datas"], axis=1)
-                inimg = np.concatenate(info["imgs"]) if n else np.zeros(0, np.int32)
-                onehot = np.zeros((n_pad, self.n_inimage), dtype=np.float32)
-                onehot[np.arange(n), inimg] = 1.0
-
-                if solver == "iterative":
-                    # acceptance-radius mask from the stamp coordinates
-                    # (reference lakernel.py:614-620); padded slots sit at
-                    # the 1e6 sentinel and never pass
+                data[s_idx, :, :n] = np.concatenate(info["datas"], axis=1)
+                inimg = (np.concatenate(info["imgs"]) if n
+                         else np.zeros(0, np.int32))
+                onehot[s_idx, np.arange(n), inimg] = 1.0
+            if solver == "iterative":
+                # acceptance-radius mask from the stamp coordinates
+                # (reference lakernel.py:614-620); padded slots sit at the
+                # 1e6 sentinel and never pass
+                rel_np = np.zeros((S, m, n_pad), dtype=bool)
+                for s_idx, (_j, _i, info) in enumerate(infos):
+                    n = info["n"]
                     ix = np.full(n_pad, 1e6)
                     iy = np.full(n_pad, 1e6)
                     ix[:n] = np.concatenate(info["xs"])
                     iy[:n] = np.concatenate(info["ys"])
-                    rel = assemble.relevance_mask(
-                        put(info["out_x"]), put(info["out_y"]),
-                        put(ix), put(iy), info["rho_acc"])
-                else:
-                    rel = dummy_rel
-                out = assemble.solve_finalize(
-                    A_holder[0].reshape(n_pad, n_pad),
-                    B_holders[s_idx][0].reshape(n_out, m, n_pad),
-                    C, kappaC, put(data), put(onehot), fade,
-                    rel, cfg.uctarget, cfg.sigmamax, cfg.iter_rtol,
-                    n2 * n2, solver, exact_UC, cfg.iter_max)
-                results.append((j_st, i_st, info, out))
-        return results
+                    rel_np[s_idx] = (np.hypot(
+                        info["out_y"][:, None] - iy[None, :],
+                        info["out_x"][:, None] - ix[None, :])
+                        < info["rho_acc"])
+                rel = put(rel_np)
+            else:
+                rel = put(np.zeros((S, 1, 1), dtype=bool))
+            out = assemble.solve_finalize_batch(
+                A_flat.reshape(S, n_pad, n_pad),
+                Bflat.reshape(S, n_out, m, n_pad),
+                C, kappaC, put(data), put(onehot), fade, rel,
+                cfg.uctarget, cfg.sigmamax, cfg.iter_rtol,
+                n2 * n2, solver, exact_UC, cfg.iter_max)
+        return [(infos, out)]
+
+    def _group_combined_stack(self, stacks, dt, device):
+        """Concatenate the group's overlap stacks on `device` (one dispatch)."""
+        import jax
+        import jax.numpy as jnp
+
+        if not stacks:
+            return jnp.zeros((1, 1, 1), dtype=dt)
+        arrs = [s.astype(dt) for s in stacks]
+        if len(arrs) == 1:
+            combined = arrs[0]
+        else:
+            combined = jnp.concatenate(arrs, axis=0)
+        if device is not None:
+            combined = jax.device_put(combined, device)
+        return combined
 
     def _drain_group_results(self, results):
-        """Download the per-stamp device outputs and accumulate them."""
+        """Download the group's stacked device outputs and accumulate them."""
         cfg = self.cfg
         n_out, n2f = cfg.n_out, cfg.n2f
-        # ---- drain: small per-stamp downloads + host accumulation ----------
+        # ---- drain: one stacked download per group + host accumulation -----
         with _phase("solve.download"):
-            for j_st, i_st, info, out in results:
+            for infos, out in results:
                 host = {k: np.asarray(v) for k, v in out.items()}
-                UC = host["UC"].reshape(n_out, n2f, n2f)
-                Sigma = host["Sigma"].reshape(n_out, n2f, n2f)
-                kappa = host["kappa"].reshape(n_out, n2f, n2f)
-                sq = np.sqrt(np.maximum(host["UC"], 1e-32))
-                ss = np.sqrt(np.maximum(host["Sigma"], 1e-32))
-                print("  n input pix =", info["n"], flush=True)
-                print(f"  sqUC,sqSig medians | {np.median(sq):8.2E} "
-                      f"{np.median(ss):8.2E}", flush=True)
-                self._accumulate(
-                    j_st, i_st,
-                    host["outimage"].reshape(n_out, cfg.n_inframe, n2f, n2f),
-                    UC, Sigma, kappa,
-                    host["Tsum_inpix"].reshape(n_out, n2f, n2f),
-                    host["Neff"].reshape(n_out, n2f, n2f),
-                    host["Tsum_stamp"])
-                self._consume_refs(info["ji_in_s"])
+                for s_idx, (j_st, i_st, info) in enumerate(infos):
+                    UC = host["UC"][s_idx].reshape(n_out, n2f, n2f)
+                    Sigma = host["Sigma"][s_idx].reshape(n_out, n2f, n2f)
+                    kappa = host["kappa"][s_idx].reshape(n_out, n2f, n2f)
+                    sq = np.sqrt(np.maximum(host["UC"][s_idx], 1e-32))
+                    ss = np.sqrt(np.maximum(host["Sigma"][s_idx], 1e-32))
+                    print("  n input pix =", info["n"], flush=True)
+                    print(f"  sqUC,sqSig medians | {np.median(sq):8.2E} "
+                          f"{np.median(ss):8.2E}", flush=True)
+                    self._accumulate(
+                        j_st, i_st,
+                        host["outimage"][s_idx].reshape(
+                            n_out, cfg.n_inframe, n2f, n2f),
+                        UC, Sigma, kappa,
+                        host["Tsum_inpix"][s_idx].reshape(n_out, n2f, n2f),
+                        host["Neff"][s_idx].reshape(n_out, n2f, n2f),
+                        host["Tsum_stamp"][s_idx])
+                    self._consume_refs(info["ji_in_s"])
 
-    def _enqueue_submat_rows(self, calls, rec, sel_off, sym, device=None):
+    def _enqueue_submat_rows(self, calls, rec, sel_off, s_idx, dstA_base,
+                             sym, device=None):
         """Append pool_to_A metadata rows for one submatrix use."""
         import jax
 
         n1s, n2s = rec["n1"], rec["n2"]
-        m1 = sel_off[rec["ji_row"]]
-        m2 = sel_off[rec["ji_col"]]
+        m1 = sel_off[(s_idx, rec["ji_row"])]
+        m2 = sel_off[(s_idx, rec["ji_col"])]
         holder = rec["holder"]
         if device is not None and holder["device"] is not device:
             # cross-device reuse: replicate the (final) pool once per device
@@ -1344,7 +1438,7 @@ class Block:
         total = n1s * n2s
         for off in range(0, total, self.CHUNK):
             entry[1].append((rec["base"] + off, n2s, m1, m2,
-                             min(self.CHUNK, total - off), off))
+                             min(self.CHUNK, total - off), off, dstA_base))
 
     def _drop_dev_ref(self, key):
         """Consume one reference to a device-pooled submatrix."""

@@ -87,13 +87,16 @@ def pool_to_A(A, pool, meta, selmap, bucket: int, n_pad: int):
     """
     Gather a submatrix chunk from `pool` and scatter-add into A.
 
-    A : (n_pad*n_pad,) flat stamp system matrix (donated).
+    A : (S*n_pad*n_pad,) flat stamp system matrices for the whole group
+        (donated); a row's stamp is folded into its dstA_base column.
     pool : (P,) source pool (this group's, or a cached earlier group's).
-    meta : (R, 6) int32 rows [src_off, w2, m1_off, m2_off, nval, flat_off]
+    meta : (R, 7) int32 rows
+        [src_off, w2, m1_off, m2_off, nval, flat_off, dstA_base]
         for one contiguous chunk of a row-major (n1, w2) submatrix block:
         value j reads pool[src_off + j] and corresponds to submatrix flat
-        position f = flat_off + j, i.e. row f // w2 and column f % w2;
-        it lands at A[selmap[m1_off + f//w2], selmap[m2_off + f%w2]].
+        position f = flat_off + j, i.e. row f // w2 and column f % w2; it
+        lands at A[dstA_base + selmap[m1_off + f//w2]*n_pad
+                   + selmap[m2_off + f%w2]] where dstA_base = s_idx*n_pad^2.
     selmap : (L,) int32 -- concatenated per-(stamp, neighbor-instamp) local
         pixel index -> A slot maps (-1 for unselected pixels; dropped).
     """
@@ -105,7 +108,7 @@ def pool_to_A(A, pool, meta, selmap, bucket: int, n_pad: int):
     vals = pool[jnp.where(valid, src, 0)]
     s1 = selmap[jnp.where(valid, meta[:, 2:3] + f // w2, 0)]
     s2 = selmap[jnp.where(valid, meta[:, 3:4] + f % w2, 0)]
-    dst = s1 * n_pad + s2
+    dst = meta[:, 6:7] + s1 * n_pad + s2
     dst = jnp.where(valid & (s1 >= 0) & (s2 >= 0), dst, _BIG)
     return A.at[dst.ravel()].add(vals.ravel(), mode="drop")
 
@@ -127,10 +130,90 @@ def pool_to_A_sym(A, pool, meta, selmap, bucket: int, n_pad: int):
     s1 = selmap[jnp.where(valid, meta[:, 2:3] + f // w2, 0)]
     s2 = selmap[jnp.where(valid, meta[:, 3:4] + f % w2, 0)]
     ok = valid & (s1 >= 0) & (s2 >= 0)
-    dst1 = jnp.where(ok, s1 * n_pad + s2, _BIG)
-    dst2 = jnp.where(ok, s2 * n_pad + s1, _BIG)
+    dst1 = jnp.where(ok, meta[:, 6:7] + s1 * n_pad + s2, _BIG)
+    dst2 = jnp.where(ok, meta[:, 6:7] + s2 * n_pad + s1, _BIG)
     A = A.at[dst1.ravel()].add(vals.ravel(), mode="drop")
     return A.at[dst2.ravel()].add(vals.ravel(), mode="drop")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bucket", "kern", "n_pad", "m"),
+                   donate_argnums=(0, 1))
+def sweep_scatter_scan(pool, Bflat, combined, xt, yt, ks, imeta, pmeta,
+                       bmeta, inv_scale, off_grid, bucket: int, kern: str,
+                       n_pad: int, m: int):
+    """
+    The fused per-group sweep: interpolate every system-matrix /-B-tensor
+    rectangle batch and scatter the values where they land, in ONE compiled
+    program (a lax.scan over batches).
+
+    Replaces the round-2 per-batch dispatch loop (jnp.take + interp +
+    scatter_pool + scatter_B per batch, ~150 device calls per stamp): over
+    the remote-TPU relay the dispatch latency of that loop dominated the
+    production stamp time, and on local hardware one program gives XLA the
+    whole pipeline to fuse.
+
+    pool : (P,) flat submatrix pool (donated).
+    Bflat : (S*n_out*m*n_pad,) all stamps' -B/2 tensors, stamp-major
+        (donated); a batch row's stamp/j_out fold into its bmeta dst_base.
+    combined : (K, ny, nx) concatenated overlap stacks.
+    xt, yt : (L,) f64 coordinate tables.
+    ks : (NB, R) int32 image index per batch row.
+    imeta : (NB, R, 5) interpolation metadata
+        [i1_start, i2_start, w2, flat_off, nval] (interp2d_dense_pairs).
+    pmeta : (NB, R, 5) pool-scatter metadata [dst_base0, w2, n2, off, nval]
+        (scatter_pool rows); nval = 0 on rows that target B.
+    bmeta : (NB, R, 4) B-scatter metadata [dst_base, col0, off, nval]
+        (scatter_B rows); nval = 0 on rows that target the pool.
+    """
+    from .interp import interp2d_dense_pairs
+
+    j = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+
+    def body(carry, xs):
+        pool_, B_ = carry
+        ks_b, im_b, pm_b, bm_b = xs
+        imgs = combined[ks_b]
+        vals = interp2d_dense_pairs(imgs, xt, yt, im_b, inv_scale, off_grid,
+                                    bucket, kern)
+        # pool scatter
+        f = pm_b[:, 3:4] + j
+        w2 = jnp.maximum(pm_b[:, 1:2], 1)
+        dst = pm_b[:, 0:1] + (f // w2) * pm_b[:, 2:3] + f % w2
+        dst = jnp.where(j < pm_b[:, 4:5], dst, _BIG)
+        pool_ = pool_.at[dst.ravel()].add(vals.ravel(), mode="drop")
+        # B scatter
+        fb = bm_b[:, 2:3] + j
+        dstb = bm_b[:, 0:1] + (fb % m) * n_pad + bm_b[:, 1:2] + fb // m
+        dstb = jnp.where(j < bm_b[:, 3:4], dstb, _BIG)
+        B_ = B_.at[dstb.ravel()].add(vals.ravel(), mode="drop")
+        return (pool_, B_), None
+
+    (pool, Bflat), _ = jax.lax.scan(body, (pool, Bflat),
+                                    (ks, imeta, pmeta, bmeta))
+    return pool, Bflat
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n2sq", "solver", "exact_UC", "maxiter"))
+def solve_finalize_batch(A, mBhalf, C, kappaC, data, img_onehot, fade,
+                         relevant, ucmin, smax, rtol, n2sq: int,
+                         solver: str = "blocked", exact_UC: bool = True,
+                         maxiter: int = 30):
+    """
+    vmap of :func:`solve_finalize` over the group's stamp axis: A (S, n,
+    n), mBhalf (S, n_out, m, n), data (S, n_inframe, n), img_onehot (S, n,
+    n_img), relevant (S, m, n) or (S, 1, 1).  One dispatch solves and
+    coadds every stamp of the group; on a device mesh this is the batch
+    axis that `parallel.mesh` shards (SURVEY.md section 2.2 TPU mapping).
+    """
+    def one(A_, B_, d_, oh_, rel_):
+        return solve_finalize(A_, B_, C, kappaC, d_, oh_, fade, rel_,
+                              ucmin, smax, rtol, n2sq, solver, exact_UC,
+                              maxiter)
+
+    return jax.vmap(one)(A, mBhalf, data, img_onehot, relevant)
 
 
 @functools.partial(jax.jit, static_argnames=("bucket", "n_pad", "m"),
@@ -245,6 +328,15 @@ def init_A(eye_scale, n_pad: int):
     i = jnp.arange(n_pad, dtype=jnp.int32)
     buf = jnp.zeros(n_pad * n_pad, dtype=eye_scale.dtype)
     return buf.at[i * n_pad + i].set(eye_scale)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def init_A_batch(eye_scales, n_pad: int):
+    """(S, n_pad) diagonal scales -> (S*n_pad*n_pad,) flat group buffer."""
+    S = eye_scales.shape[0]
+    i = jnp.arange(n_pad, dtype=jnp.int32)
+    buf = jnp.zeros((S, n_pad * n_pad), dtype=eye_scales.dtype)
+    return buf.at[:, i * n_pad + i].set(eye_scales).ravel()
 
 
 @jax.jit

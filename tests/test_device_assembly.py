@@ -68,8 +68,8 @@ def test_scatter_pool_and_pool_to_A_match_numpy():
     total = n1 * n2
     rows = []
     for off in range(0, total, CH):
-        rows.append((base + off, n2, 0, n1, min(CH, total - off), off))
-    meta = np.zeros((len(rows), 6), np.int32)
+        rows.append((base + off, n2, 0, n1, min(CH, total - off), off, 0))
+    meta = np.zeros((len(rows), 7), np.int32)
     for j, r in enumerate(rows):
         meta[j] = r
     A = assemble.pool_to_A(A, pool_dev, jnp.asarray(meta), selmap, CH, n_pad)
