@@ -517,6 +517,13 @@ class Block:
         self.build_input_stamps()
         self.coadd_output_stamps(sim_mode=True)
         self.coadd_output_stamps(sim_mode=False)
+        stats = getattr(self, "_round_stats", None)
+        if stats is not None:
+            # final mesh round's ICI-reduced quality summary (device
+            # scalars; converting here, after the drains, costs no stall)
+            print(f"mesh round quality: sqrt(U/C)_max = "
+                  f"{float(stats['uc_max']) ** 0.5:.3E}, Sigma_max = "
+                  f"{float(stats['sigma_max']):.3E}", flush=True)
         self.build_output_file(is_final=True)
         _profile_report(f"block {self.this_sub}")
         print(f"finished at t = {self.timer():.2f} s", flush=True)
@@ -702,10 +709,21 @@ class Block:
                 use |= st.pix_count > 0
         return np.nonzero(use)[0]
 
-    def _get_psf_group(self, ji_grp):
-        """Input PSF group for a 2x2 stamp group (cached, refcounted)."""
-        if ji_grp in self._grp_cache:
-            return self._grp_cache[ji_grp]
+    @staticmethod
+    def _devid(device):
+        return getattr(device, "id", -1) if device is not None else -1
+
+    def _get_psf_group(self, ji_grp, device=None):
+        """Input PSF group for a 2x2 stamp group (cached, refcounted).
+
+        With `device` set, the group's PSFs are resampled and their DFT
+        spectra built ON that device (band sharding: each band's device
+        owns its groups end to end; nothing is replicated device-to-device).
+        """
+        sub = self._grp_cache.setdefault(ji_grp, {})
+        devid = self._devid(device)
+        if devid in sub:
+            return sub[devid]
         cfg = self.cfg
         imgs = self._group_images(ji_grp)
         n_psf = len(imgs)
@@ -727,7 +745,8 @@ class Block:
                 # mode the samples stay in HBM and feed the DFT spectra
                 psf_arr = sample_psf_rotated_batch(
                     self.geom, psfs, mapfns, compute_point_pix,
-                    as_device=_psfgrp._overlap_mode() == "device")
+                    as_device=_psfgrp._overlap_mode() == "device",
+                    device=device)
             else:
                 psf_arr = np.zeros((n_psf, self.geom.nsamp, self.geom.nsamp))
                 for g in range(n_psf):
@@ -736,51 +755,55 @@ class Block:
                                                     compute_point_pix)
         grp = PSFGroup(self.geom, psf_arr, idx_blk2grp=blk2grp, idx_grp2blk=imgs,
                        psf_circ=cfg.psf_circ, psf_norm=cfg.psf_norm,
-                       amp_penalty=cfg.amp_penalty)
-        self._grp_cache[ji_grp] = grp
+                       amp_penalty=cfg.amp_penalty, device=device)
+        sub[devid] = grp
         return grp
 
     def _release_group(self, ji_grp):
         self._grp_ref[ji_grp] -= 1
         if self._grp_ref[ji_grp] <= 0:
-            grp = self._grp_cache.pop(ji_grp, None)
-            if grp is not None:
+            sub = self._grp_cache.pop(ji_grp, None)
+            for grp in (sub or {}).values():
                 grp.clear()
 
-    def _get_ii_overlap(self, gp1, gp2):
-        """Overlap stack between two input PSF groups (cached, refcounted)."""
+    def _get_ii_overlap(self, gp1, gp2, device=None):
+        """Overlap stack between two input PSF groups (cached, refcounted,
+        built on `device` under band sharding)."""
         key = (gp1, gp2)
-        if key not in self._ovl_cache:
-            grp1 = self._get_psf_group(gp1)
-            grp2 = self._get_psf_group(gp2) if gp2 != gp1 else None
-            stack = build_overlap_stack(self.geom, grp1, grp2)
-            self._ovl_cache[key] = (stack, grp1,
-                                    grp2 if grp2 is not None else grp1)
-        return self._ovl_cache[key]
+        sub = self._ovl_cache.setdefault(key, {})
+        devid = self._devid(device)
+        if devid not in sub:
+            grp1 = self._get_psf_group(gp1, device)
+            grp2 = self._get_psf_group(gp2, device) if gp2 != gp1 else None
+            stack = build_overlap_stack(self.geom, grp1, grp2, device=device)
+            sub[devid] = (stack, grp1,
+                          grp2 if grp2 is not None else grp1)
+        return sub[devid]
 
     def _release_ii_overlap(self, gp1, gp2):
         key = (gp1, gp2)
         self._ovl_ref[key] -= 1
         if self._ovl_ref[key] <= 0:
             self._ovl_cache.pop(key, None)
-            self._ovl_reps.pop(key, None)
             self._release_group(gp1)
             if gp2 != gp1:
                 self._release_group(gp2)
 
-    def _get_io_overlap(self, gp):
+    def _get_io_overlap(self, gp, device=None):
         """Overlap stack between an input PSF group and the target PSFs."""
-        if gp not in self._io_cache:
-            grp = self._get_psf_group(gp)
-            stack = build_overlap_stack(self.geom, grp, self.outpsfgrp)
-            self._io_cache[gp] = (stack, grp)
-        return self._io_cache[gp]
+        sub = self._io_cache.setdefault(gp, {})
+        devid = self._devid(device)
+        if devid not in sub:
+            grp = self._get_psf_group(gp, device)
+            stack = build_overlap_stack(self.geom, grp, self.outpsfgrp,
+                                        device=device)
+            sub[devid] = (stack, grp)
+        return sub[devid]
 
     def _release_io_overlap(self, gp):
         self._io_ref[gp] -= 1
         if self._io_ref[gp] <= 0:
             self._io_cache.pop(gp, None)
-            self._io_reps.pop(gp, None)
             self._release_group(gp)
 
     def _drop_iisubmat_ref(self, ji1, ji2):
@@ -950,7 +973,7 @@ class Block:
         env = os.environ.get("PYIMCOM_DEVICE_ASSEMBLY", "auto")
         if env == "0":
             return False
-        if self.cfg.linear_algebra not in ("Cholesky", "Iterative"):
+        if self.cfg.linear_algebra not in ("Cholesky", "Iterative", "Eigen"):
             return False
         if self.cfg.linear_algebra == "Iterative" and self.cfg.no_qlt_ctrl:
             return False
@@ -970,6 +993,10 @@ class Block:
 
         if self.cfg.linear_algebra == "Iterative":
             return "iterative"
+        if self.cfg.linear_algebra == "Eigen":
+            # device Eigen contract: dense-kappa-grid emulation of the
+            # bisection (solvers.eigen_solve_device); node count via env
+            return "eigen" + os.environ.get("PYIMCOM_EIGEN_NODES", "9")
         prec = getattr(self.cfg, "solver_prec", "auto")
         if prec == "mixed":
             return "mixed"
@@ -978,20 +1005,6 @@ class Block:
         return "monolithic"
 
     CHUNK = 16384       # scatter chunk length (static bucket)
-
-    def _dev_replica(self, cache_dict, key, arr, device):
-        """Per-device replica of a cached device array (cross-device reuse).
-
-        Replicas live alongside the cache entry and are dropped with it, so
-        eviction frees them too."""
-        import jax
-
-        if device is None:
-            return arr
-        reps = cache_dict.setdefault(key, {})
-        if device not in reps:
-            reps[device] = jax.device_put(arr, device)
-        return reps[device]
 
     def _stamp_devices(self):
         """Devices over which postage-stamp groups are scattered."""
@@ -1003,7 +1016,23 @@ class Block:
             devs = devs[:max(1, int(env))]
         return devs
 
-    def _coadd_group_device(self, group, device=None):
+    def _group_infos(self, group):
+        """Per-stamp input selections of one 2x2 group; zero-input stamps
+        are accumulated (exactly zero contributions, order-independent) and
+        excluded from the returned list."""
+        infos = []
+        for (j_st, i_st) in group:
+            print(f"postage stamp {i_st:2d},{j_st:2d}  t= {self.timer():9.2f} s",
+                  flush=True)
+            info = self._stamp_inputs(j_st, i_st)
+            if info["n"] == 0:
+                self._zero_stamp(j_st, i_st, info["ji_in_s"])
+            else:
+                infos.append((j_st, i_st, info))
+        return infos
+
+    def _coadd_group_device(self, group, device=None, infos=None,
+                            n_pad=None, defer_solve=False):
         """
         Coadd up to four output stamps of one 2x2 PSF group with the fully
         device-resident pipeline:
@@ -1030,6 +1059,12 @@ class Block:
         (stamp-level data parallelism; SURVEY.md section 2.2's TPU mapping).
         Returns the per-stamp result records; the caller drains them with
         `_drain_group_results` after the round.
+
+        `infos` / `n_pad` may be precomputed by the caller (the banded
+        multi-device round loop shares one n_pad across a mini-round so the
+        solves can batch over the mesh); `defer_solve=True` returns the
+        assembled (A, B, data, ...) instead of solving, for the shard_map
+        mesh solve (`_solve_round`).
         """
         import jax
         import jax.numpy as jnp
@@ -1049,20 +1084,14 @@ class Block:
         kern = geom.psfinterp
         CH = self.CHUNK
 
-        infos = []
-        for (j_st, i_st) in group:
-            print(f"postage stamp {i_st:2d},{j_st:2d}  t= {self.timer():9.2f} s",
-                  flush=True)
-            info = self._stamp_inputs(j_st, i_st)
-            if info["n"] == 0:
-                self._zero_stamp(j_st, i_st, info["ji_in_s"])
-            else:
-                infos.append((j_st, i_st, info))
+        if infos is None:
+            infos = self._group_infos(group)
         if not infos:
             return
 
-        n_pad = max(SOLVE_BUCKET, int(np.ceil(
-            max(i[2]["n"] for i in infos) / SOLVE_BUCKET) * SOLVE_BUCKET))
+        if n_pad is None:
+            n_pad = max(SOLVE_BUCKET, int(np.ceil(
+                max(i[2]["n"] for i in infos) / SOLVE_BUCKET) * SOLVE_BUCKET))
 
         # ---- coordinate tables: union full-stamp arrays + per-stamp
         #      selected arrays + per-stamp output grids ----------------------
@@ -1126,17 +1155,34 @@ class Block:
 
         pool_size = 0
         fp_rows = []     # flat-penalty constant rects: (meta5 rows, const)
-        fresh = {}       # key -> (base, n1sub, n2sub, ji_row, ji_col, okey)
+        fresh = {}       # key -> (base, n1sub, n2sub, ji_row, ji_col,
+                         #         okey, seam)
+        devid = self._devid(device)
         nBflat = n_out * m * n_pad       # per-stamp flat B length
         for key in keys_union:
-            if key in self._dev_submat or key in self._submat_computed:
-                continue
+            sub = self._dev_submat.get(key)
+            if sub is not None and devid in sub:
+                continue                  # resident on this device
+            if key in self._submat_computed and sub is None:
+                continue                  # fully consumed earlier
+            seam = key in self._submat_computed
             ji1, ji2 = key
             gp1, gp2 = group_of(ji1), group_of(ji2)
             swap = gp1 > gp2
             okey = (gp1, gp2) if not swap else (gp2, gp1)
-            stack, grpa, grpb = self._get_ii_overlap(*okey)
-            stack = self._dev_replica(self._ovl_reps, okey, stack, device)
+            if seam:
+                # band seam: another device computed this submatrix; its
+                # sim-pass overlap reference is spent, so take a temporary
+                # one (mirrors _sim_count) and recompute locally -- cheaper
+                # than bouncing the pool across devices through the host
+                first = self._ovl_ref.get(okey, 0) == 0
+                self._ovl_ref[okey] = self._ovl_ref.get(okey, 0) + 1
+                if first:
+                    self._grp_ref[okey[0]] = self._grp_ref.get(okey[0], 0) + 1
+                    if okey[1] != okey[0]:
+                        self._grp_ref[okey[1]] = \
+                            self._grp_ref.get(okey[1], 0) + 1
+            stack, grpa, grpb = self._get_ii_overlap(*okey, device=device)
             sbase = _stack_base(stack)
             if gp1 == gp2:
                 n_in_eff = grpa.n_psf
@@ -1147,7 +1193,7 @@ class Block:
             n1s, n2s = st1.n_pix, st2.n_pix
             base = pool_size
             pool_size += n1s * n2s
-            fresh[key] = (base, n1s, n2s, jA, jB, okey)
+            fresh[key] = (base, n1s, n2s, jA, jB, okey, seam)
             fp = cfg.flat_penalty
             for im1, s1, e1 in _psfgrp._image_runs(st1.img_idx):
                 for im2, s2, e2 in _psfgrp._image_runs(st2.img_idx):
@@ -1175,8 +1221,7 @@ class Block:
                 if info["counts"][idx] == 0:
                     continue
                 gp_io = group_of(ji)
-                stack, grp = self._get_io_overlap(gp_io)
-                stack = self._dev_replica(self._io_reps, gp_io, stack, device)
+                stack, grp = self._get_io_overlap(gp_io, device=device)
                 sbase = _stack_base(stack)
                 col_base = int(info["cumsum"][idx])
                 for im1, s1, e1 in _psfgrp._image_runs(info["imgs"][idx]):
@@ -1233,7 +1278,7 @@ class Block:
 
             pool_holder = {"arr": assemble.zeros_on(max(pool_size, 1), dt,
                                                     device),
-                           "device": device, "reps": {}}
+                           "device": device}
             Bflat = assemble.zeros_on(max(len(infos) * nBflat, 1), dt, device)
             for bidx, bucket in enumerate(_psfgrp._DENSE_BUCKETS):
                 sel = np.flatnonzero(p_bidx == bidx)
@@ -1281,9 +1326,10 @@ class Block:
                     put(meta), CH)
 
         # register fresh submatrices; release their overlap-stack references
-        for key, (base, n1s, n2s, jA, jB, okey) in fresh.items():
-            self._dev_submat[key] = dict(holder=pool_holder, base=base,
-                                         n1=n1s, n2=n2s, ji_row=jA, ji_col=jB)
+        for key, (base, n1s, n2s, jA, jB, okey, seam) in fresh.items():
+            self._dev_submat.setdefault(key, {})[devid] = dict(
+                holder=pool_holder, base=base, n1=n1s, n2=n2s,
+                ji_row=jA, ji_col=jB)
             self._submat_computed.add(key)
             self._release_ii_overlap(*okey)
 
@@ -1315,15 +1361,15 @@ class Block:
                 dstA_base = s_idx * n_pad * n_pad
                 for ji in ji_in_s:
                     key = (ji, ji)
-                    self._enqueue_submat_rows(calls, self._dev_submat[key],
-                                              sel_off, s_idx, dstA_base,
-                                              False, device)
+                    self._enqueue_submat_rows(
+                        calls, self._dev_submat[key][devid], sel_off, s_idx,
+                        dstA_base, False, device)
                     self._drop_dev_ref(key)
                 for ja, jb in combinations(ji_in_s, 2):
                     key = (ja, jb) if ja <= jb else (jb, ja)
-                    self._enqueue_submat_rows(calls, self._dev_submat[key],
-                                              sel_off, s_idx, dstA_base,
-                                              True, device)
+                    self._enqueue_submat_rows(
+                        calls, self._dev_submat[key][devid], sel_off, s_idx,
+                        dstA_base, True, device)
                     self._drop_dev_ref(key)
             selmap = put(np.concatenate(sel_parts))
             A_flat = assemble.init_A_batch(put(diag), n_pad)
@@ -1337,10 +1383,6 @@ class Block:
 
         # ---- batched solve + coadd: one dispatch for the whole group -------
         with _phase("stamp.solve"):
-            fade = put(np.asarray(self._fade_vec(), dtype=dt_np))
-            exact_UC = len(cfg.kappaC_arr) > 1
-            kappaC = put(np.asarray(cfg.kappaC_arr, dtype=np.float64))
-            C = put(np.asarray(self.outovlc, dtype=np.float64))
             data = np.zeros((S, cfg.n_inframe, n_pad), dtype=np.float32)
             onehot = np.zeros((S, n_pad, self.n_inimage), dtype=np.float32)
             for s_idx, (_j, _i, info) in enumerate(infos):
@@ -1364,16 +1406,25 @@ class Block:
                         info["out_y"][:, None] - iy[None, :],
                         info["out_x"][:, None] - ix[None, :])
                         < info["rho_acc"])
-                rel = put(rel_np)
             else:
-                rel = put(np.zeros((S, 1, 1), dtype=bool))
+                rel_np = np.zeros((S, 1, 1), dtype=bool)
+            if defer_solve:
+                return (infos, dict(
+                    A=A_flat.reshape(S, n_pad, n_pad),
+                    B=Bflat.reshape(S, n_out, m, n_pad),
+                    data=data, onehot=onehot, rel=rel_np,
+                    n_pad=n_pad, S=S, solver=solver, device=device))
+            fade = put(np.asarray(self._fade_vec(), dtype=dt_np))
+            exact_UC = len(cfg.kappaC_arr) > 1
+            kappaC = put(np.asarray(cfg.kappaC_arr, dtype=np.float64))
+            C = put(np.asarray(self.outovlc, dtype=np.float64))
             out = assemble.solve_finalize_batch(
                 A_flat.reshape(S, n_pad, n_pad),
                 Bflat.reshape(S, n_out, m, n_pad),
-                C, kappaC, put(data), put(onehot), fade, rel,
+                C, kappaC, put(data), put(onehot), fade, put(rel_np),
                 cfg.uctarget, cfg.sigmamax, cfg.iter_rtol,
                 n2 * n2, solver, exact_UC, cfg.iter_max)
-        return [(infos, out)]
+        return [(infos, out, 0)]
 
     def _group_combined_stack(self, stacks, dt, device):
         """Concatenate the group's overlap stacks on `device` (one dispatch)."""
@@ -1392,14 +1443,29 @@ class Block:
         return combined
 
     def _drain_group_results(self, results):
-        """Download the group's stacked device outputs and accumulate them."""
+        """Download the stacked device outputs and accumulate them.
+
+        Records are (infos, out, row_offset); mesh rounds share one `out`
+        dict of globally-sharded arrays across their groups (downloaded
+        once, cached by identity)."""
         cfg = self.cfg
         n_out, n2f = cfg.n_out, cfg.n2f
+        host_cache = {}
         # ---- drain: one stacked download per group + host accumulation -----
         with _phase("solve.download"):
-            for infos, out in results:
-                host = {k: np.asarray(v) for k, v in out.items()}
-                for s_idx, (j_st, i_st, info) in enumerate(infos):
+            for infos, out, off in results:
+                host = host_cache.get(id(out))
+                if host is None:
+                    dbg = os.environ.get("PYIMCOM_DEBUG_DRAIN") == "1"
+                    host = {}
+                    for k, v in out.items():
+                        if dbg:
+                            print("drain:", k, getattr(v, "shape", None),
+                                  flush=True)
+                        host[k] = np.asarray(v)
+                    host_cache[id(out)] = host
+                for s_off, (j_st, i_st, info) in enumerate(infos):
+                    s_idx = off + s_off
                     UC = host["UC"][s_idx].reshape(n_out, n2f, n2f)
                     Sigma = host["Sigma"][s_idx].reshape(n_out, n2f, n2f)
                     kappa = host["kappa"][s_idx].reshape(n_out, n2f, n2f)
@@ -1420,20 +1486,22 @@ class Block:
 
     def _enqueue_submat_rows(self, calls, rec, sel_off, s_idx, dstA_base,
                              sym, device=None):
-        """Append pool_to_A metadata rows for one submatrix use."""
-        import jax
+        """Append pool_to_A metadata rows for one submatrix use.
 
+        Band sharding guarantees the pool is already resident on the
+        stamp's device (seam submatrices are recomputed per device), so no
+        device-to-device replication ever happens here; the counter guards
+        that invariant for the tests.
+        """
         n1s, n2s = rec["n1"], rec["n2"]
         m1 = sel_off[(s_idx, rec["ji_row"])]
         m2 = sel_off[(s_idx, rec["ji_col"])]
         holder = rec["holder"]
         if device is not None and holder["device"] is not device:
-            # cross-device reuse: replicate the (final) pool once per device
-            if device not in holder["reps"]:
-                holder["reps"][device] = {"arr": jax.device_put(holder["arr"],
-                                                                device),
-                                          "device": device, "reps": None}
-            holder = holder["reps"][device]
+            self._cross_device_puts += 1
+            raise RuntimeError(
+                "cross-device pool reuse slipped through band sharding "
+                f"(pool on {holder['device']}, stamp on {device})")
         entry = calls.setdefault((id(holder), sym), (holder, []))
         total = n1s * n2s
         for off in range(0, total, self.CHUNK):
@@ -1441,7 +1509,8 @@ class Block:
                              min(self.CHUNK, total - off), off, dstA_base))
 
     def _drop_dev_ref(self, key):
-        """Consume one reference to a device-pooled submatrix."""
+        """Consume one reference to a device-pooled submatrix (all device
+        copies are dropped together when the sim-counted uses are spent)."""
         self._submat_ref[key] -= 1
         if self._submat_ref[key] <= 0:
             self._dev_submat.pop(key, None)
@@ -1461,9 +1530,8 @@ class Block:
             self._io_cache = {}
             self._submat_cache = _SubmatStore(cfg.tempfile)
             self._dev_submat = {}
-            self._ovl_reps = {}
-            self._io_reps = {}
             self._submat_computed = set()
+            self._cross_device_puts = 0
         else:
             n_out = cfg.n_out
             NsidePf = cfg.NsideP + cfg.fade_kernel * 2
@@ -1494,24 +1562,11 @@ class Block:
         use_device = (not sim_mode) and self._device_path_enabled()
         devices = self._stamp_devices() if use_device else [None]
         n_dev = max(1, len(devices))
-        round_ = []     # [(group, device), ...] -- one group per device
-        in_flight = []  # enqueued-but-undrained rounds (device still busy)
+
+        # enumerate the 2x2 groups in scan order, honoring the stamp cap
+        groups = []
         n_coadded = 0
         done = False
-
-        def flush_round():
-            records = []
-            for g, d in round_:
-                records += self._coadd_group_device(g, d) or []
-            in_flight.append(records)
-            round_.clear()
-            # keep PYIMCOM_PIPELINE_DEPTH rounds in flight (default 2): the
-            # host plans round k+1 while the devices compute round k; drain
-            # the oldest round only when the window is full
-            depth = max(1, int(os.environ.get("PYIMCOM_PIPELINE_DEPTH", "2")))
-            while len(in_flight) >= depth:
-                self._drain_group_results(in_flight.pop(0))
-
         for j_st in range(self.j_st_min, self.j_st_max + 1, 2):
             if done:
                 break
@@ -1522,21 +1577,149 @@ class Block:
                     n_coadded += 1
                     if n_coadded == self.nrun:
                         break
-                if use_device:
-                    dev = devices[len(round_) % n_dev] if n_dev > 1 else None
-                    round_.append((group, dev))
-                    if len(round_) == n_dev or n_coadded == self.nrun:
-                        flush_round()
-                else:
-                    for (j, i) in group:
-                        self._output_stamp(j, i, sim_mode)
+                groups.append(group)
                 if n_coadded == self.nrun:
                     done = True
                     break
-        if round_:
-            flush_round()
+
+        if not use_device:
+            for group in groups:
+                for (j, i) in group:
+                    self._output_stamp(j, i, sim_mode)
+            return
+
+        depth = max(1, int(os.environ.get("PYIMCOM_PIPELINE_DEPTH", "2")))
+        in_flight = []  # enqueued-but-undrained rounds (device still busy)
+
+        def push(records):
+            # keep PYIMCOM_PIPELINE_DEPTH rounds in flight: the host plans
+            # round k+1 while the devices compute round k; drain the oldest
+            # round only when the window is full
+            in_flight.append(records)
+            while len(in_flight) >= depth:
+                self._drain_group_results(in_flight.pop(0))
+
+        if n_dev <= 1:
+            for group in groups:
+                push(self._coadd_group_device(group, None) or [])
+        else:
+            self._coadd_groups_banded(groups, devices, push)
         for records in in_flight:
             self._drain_group_results(records)
+
+    def _coadd_groups_banded(self, groups, devices, push):
+        """
+        Multi-device block execution with COLUMN-BAND sharding.
+
+        Each device owns a contiguous band of group columns, so the
+        submatrix pools reused between vertically adjacent groups stay on
+        one device for the whole block -- nothing is ever replicated
+        device-to-device (seam submatrices at band boundaries are
+        recomputed locally instead; `_cross_device_puts` guards the
+        invariant).  Rows are processed as super-rounds: each mini-round
+        dispatches one group per device and, when shapes align, batches the
+        solves into ONE shard_map program over the device mesh with
+        ICI-collective quality reductions (parallel.mesh.solve_finalize_mesh).
+        Rows drain in exact scan order, so the output block is identical to
+        the single-device one at the bit level
+        (tests/test_device_assembly.py).
+        """
+        D = len(devices)
+        cols = sorted({g[0][1] for g in groups})
+        col_of = {c: k for k, c in enumerate(cols)}
+        bands = np.array_split(np.arange(len(cols)), D)
+        band_of = np.zeros(len(cols), dtype=np.int64)
+        for d, idx in enumerate(bands):
+            band_of[idx] = d
+
+        rows = {}
+        for g in groups:
+            j0, i0 = g[0]
+            rows.setdefault(j0, [[] for _ in range(D)])[
+                band_of[col_of[i0]]].append(g)
+
+        for j0 in sorted(rows):
+            bandq = rows[j0]
+            row_records = []
+            r = 0
+            while any(len(q) > r for q in bandq):
+                entries = [(q[r], devices[d])
+                           for d, q in enumerate(bandq) if len(q) > r]
+                row_records += self._solve_round(entries)
+                r += 1
+            # records of one row, reordered to scan order for the drain
+            row_records.sort(key=lambda rec: (rec[0][0][0], rec[0][0][1]))
+            push(row_records)
+
+    def _solve_round(self, entries):
+        """
+        Dispatch one mini-round: assemble each group on its band device,
+        then solve.  When every group has the same stamp count, the solves
+        batch into one shard_map program over the round's device mesh
+        (ICI collectives; see parallel/mesh.py); otherwise each group
+        solves on its own device as before.
+        """
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from .parallel.mesh import solve_finalize_mesh
+
+        cfg = self.cfg
+        planned = []
+        for g, d in entries:
+            infos = self._group_infos(g)
+            if infos:
+                planned.append((g, d, infos))
+        if not planned:
+            return []
+        use_mesh = (len(planned) > 1
+                    and len({len(i) for _g, _d, i in planned}) == 1
+                    and os.environ.get("PYIMCOM_MESH_SOLVE", "1") == "1")
+        if not use_mesh:
+            records = []
+            for g, d, infos in planned:
+                records += self._coadd_group_device(g, d, infos=infos) or []
+            return records
+
+        # one n_pad across the round so the shard shapes match (padding is
+        # neutral: identity diagonal, zero B columns)
+        n_pad = max(SOLVE_BUCKET, int(np.ceil(
+            max(i[2]["n"] for _g, _d, infos in planned for i in infos)
+            / SOLVE_BUCKET) * SOLVE_BUCKET))
+        parts = []
+        for g, d, infos in planned:
+            parts.append(self._coadd_group_device(
+                g, d, infos=infos, n_pad=n_pad, defer_solve=True))
+        S = parts[0][1]["S"]
+        solver = parts[0][1]["solver"]
+        devs = [d for _g, d, _i in planned]
+        mesh = Mesh(np.array(devs, dtype=object), ("s",))
+        sh = NamedSharding(mesh, P("s"))
+        repl = NamedSharding(mesh, P())
+        n_out, n2f = cfg.n_out, cfg.n2f
+        m = n2f * n2f
+        Dn = len(parts)
+        A_g = jax.make_array_from_single_device_arrays(
+            (Dn * S, n_pad, n_pad), sh, [p[1]["A"] for p in parts])
+        B_g = jax.make_array_from_single_device_arrays(
+            (Dn * S, n_out, m, n_pad), sh, [p[1]["B"] for p in parts])
+        data_g = jax.device_put(
+            np.concatenate([p[1]["data"] for p in parts]), sh)
+        onehot_g = jax.device_put(
+            np.concatenate([p[1]["onehot"] for p in parts]), sh)
+        rel_g = jax.device_put(
+            np.concatenate([p[1]["rel"] for p in parts]), sh)
+        dt_np = np.dtype(_psfgrp.compute_dtype())
+        fade = jax.device_put(np.asarray(self._fade_vec(), dtype=dt_np), repl)
+        kappaC = jax.device_put(np.asarray(cfg.kappaC_arr, np.float64), repl)
+        C = jax.device_put(np.asarray(self.outovlc, np.float64), repl)
+        out, stats = solve_finalize_mesh(
+            mesh, A_g, B_g, C, kappaC, data_g, onehot_g, fade, rel_g,
+            cfg.uctarget, cfg.sigmamax, cfg.iter_rtol, cfg.n2 * cfg.n2,
+            solver, len(cfg.kappaC_arr) > 1, cfg.iter_max)
+        self._round_stats = stats  # device scalars; printed at block end
+        return [(infos, out, k * S)
+                for k, (_g, _d, infos) in enumerate(planned)]
 
     def _sim_count(self, ji_in_s, ji_out):
         """Simulation pass: count every cache reference this stamp will make."""

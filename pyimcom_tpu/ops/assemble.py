@@ -287,6 +287,14 @@ def solve_finalize(A, mBhalf, C, kappaC, data, img_onehot, fade, relevant,
     elif solver == "mixed":
         T, kappa, Sigma, UC = cholesky_solve_mixed(A64, B64, C64, kC,
                                                    ucmin, smax)
+    elif solver.startswith("eigen"):
+        # "eigen" or "eigenN" (N = dense-kappa-grid node count; the string
+        # is a static arg, so each N compiles its own program)
+        from ..solvers import eigen_solve_device
+
+        n_nodes = int(solver[5:]) if len(solver) > 5 else 9
+        T, kappa, Sigma, UC = eigen_solve_device(A64, B64, C64, kC,
+                                                 ucmin, smax, n_nodes)
     elif solver == "iterative":
         T, kappa, Sigma, UC = iterative_solve(
             A64, B64, C64, kC, relevant, rtol, ucmin, smax,

@@ -96,8 +96,15 @@ class PSFGroup:
 
     def __init__(self, geom: PSFGeometry, psf_arr: np.ndarray,
                  idx_blk2grp=None, idx_grp2blk=None,
-                 psf_circ=False, psf_norm=False, amp_penalty=(0.0, 0.0)):
+                 psf_circ=False, psf_norm=False, amp_penalty=(0.0, 0.0),
+                 device=None):
+        import jax
         import jax.numpy as jnp
+
+        def _put(a, dtype=None):
+            a = jnp.asarray(a, dtype=dtype) if dtype is not None else a
+            return jax.device_put(a, device) if device is not None else \
+                jnp.asarray(a)
 
         self.geom = geom
         self.n_psf = psf_arr.shape[0]
@@ -123,8 +130,7 @@ class PSFGroup:
             dt = compute_dtype()
             # psf_arr may already be a device array (device sampling path);
             # jnp.asarray keeps it resident either way
-            xr, xi = dftmm.dft2_real(jnp.asarray(psf_arr, dtype=dt),
-                                     geom.nfft)
+            xr, xi = dftmm.dft2_real(_put(psf_arr, dtype=dt), geom.nfft)
             if amp_penalty and amp_penalty[0] != 0.0 and amp_penalty[1] != 0.0:
                 mult = dftmm.amp_penalty_multiplier(
                     geom.nfft, amp_penalty[0],
@@ -132,6 +138,7 @@ class PSFGroup:
                 xr = xr * mult
                 xi = xi * mult
             self.psf_rft = (xr, xi)  # device (re, im) spectra
+            self._rft_on = {}        # per-device copies (out PSF group only)
         elif mode == "host":
             # host f64 FFT fallback (PYIMCOM_DEVICE_OVERLAP=0): overlap
             # values are computed on the host and uploaded per stack.
@@ -153,6 +160,26 @@ class PSFGroup:
 
     def clear(self):
         self.psf_rft = None
+        self._rft_on = {}
+
+    def spectra_on(self, device):
+        """
+        This group's (re, im) spectra resident on `device` (device overlap
+        mode only).  Used for the block-wide OUTPUT PSF group, which every
+        band device needs: the copy is made once per device per block
+        (setup, not steady-state traffic).  Input groups are instead built
+        directly on their band's device (`PSFGroup(device=...)`).
+        """
+        import jax
+
+        if device is None or not isinstance(self.psf_rft, tuple):
+            return self.psf_rft
+        key = getattr(device, "id", device)
+        if key not in self._rft_on:
+            xr, xi = self.psf_rft
+            self._rft_on[key] = (jax.device_put(xr, device),
+                                 jax.device_put(xi, device))
+        return self._rft_on[key]
 
 
 def sample_psf_rotated(geom: PSFGeometry, psf: np.ndarray,
@@ -198,7 +225,7 @@ def sample_psf_rotated(geom: PSFGeometry, psf: np.ndarray,
 
 def sample_psf_rotated_batch(geom: PSFGeometry, psfs, mapfns,
                              compute_point_pix, host=None,
-                             as_device=False) -> np.ndarray:
+                             as_device=False, device=None) -> np.ndarray:
     """
     Batched :func:`sample_psf_rotated`: all PSFs of a 2x2 group resample in
     ONE vectorized interpolation pass instead of one dispatch chain per PSF.
@@ -251,8 +278,14 @@ def sample_psf_rotated_batch(geom: PSFGeometry, psfs, mapfns,
         return out.reshape(n_psf, geom.nsamp, geom.nsamp)
 
     dt = compute_dtype()
-    out = interp2d_dense(jnp.asarray(stack, dtype=dt), jnp.asarray(qx),
-                         jnp.asarray(qy), geom.psfinterp)
+    import jax
+
+    def _put(a):
+        return jax.device_put(a, device) if device is not None \
+            else jnp.asarray(a)
+
+    out = interp2d_dense(_put(np.asarray(stack, dtype=dt)), _put(qx),
+                         _put(qy), geom.psfinterp)
     out = out.reshape(n_psf, geom.nsamp, geom.nsamp)
     return out if as_device else np.asarray(out)
 
@@ -279,13 +312,17 @@ def sample_psf_unrotated(geom: PSFGeometry, psfs: np.ndarray) -> np.ndarray:
     return out
 
 
-def build_overlap_stack(geom: PSFGeometry, grp1: PSFGroup, grp2: PSFGroup | None):
+def build_overlap_stack(geom: PSFGeometry, grp1: PSFGroup, grp2: PSFGroup | None,
+                        device=None):
     """
     Overlap (cross-correlation) images for every PSF pair of two groups,
     padded for interpolation; kept on device.
 
     Returns a jnp array of shape (n1*n2, novl+2p, novl+2p); pair (i, j)
     of (grp1, grp2) is at index i*n2 + j.  grp2=None means self-overlap.
+    With `device` set (band-sharded multi-device blocks), grp1's spectra
+    are expected to live there already and grp2's are fetched via
+    :meth:`PSFGroup.spectra_on`, so the build executes on that device.
     """
     import jax.numpy as jnp
 
@@ -295,8 +332,9 @@ def build_overlap_stack(geom: PSFGeometry, grp1: PSFGroup, grp2: PSFGroup | None
         # (ops/dftmm.py) and nothing is uploaded per stack.
         from .ops import dftmm
 
-        x1r, x1i = grp1.psf_rft
-        x2r, x2i = g2.psf_rft
+        x1r, x1i = (grp1.spectra_on(device) if device is not None
+                    else grp1.psf_rft)
+        x2r, x2i = g2.spectra_on(device) if device is not None else g2.psf_rft
         with _phase("psf.overlap_dft"):
             return _sync(dftmm.overlap_from_spectra(
                 x1r, x1i, x2r, x2i, geom.nfft, geom.novl, INTERP_PAD))

@@ -183,8 +183,13 @@ def _reduced_T_weights(Npq, DoverC, EoverC, nodes, ucmin, smax, niter: int = 12)
     def body(_, state):
         kappamid, factor, _w, _S, _UC = state
         M = EoverC + kappamid[:, None, None] * Npq            # (m, nv, nv)
-        # tiny SPD solves, batched over pixels
-        L = cholesky(M + 0.0 * eye, lower=True)
+        # tiny SPD solves, batched over pixels.  Closely spaced kappa nodes
+        # give near-duplicate T_p columns and a numerically singular M
+        # (dense-grid eigen emulation at >~10 nodes): a 1e-11-relative
+        # Tikhonov diagonal keeps the factorization finite while perturbing
+        # well-separated node weights far below the kernel tolerances.
+        diag = jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1)).mean(axis=-1)
+        L = cholesky(M + (1e-11 * diag)[:, None, None] * eye, lower=True)
         w = cho_solve((L, True), DoverC[..., None])[..., 0]   # (m, nv)
         S = jnp.einsum("ap,apq,aq->a", w, Npq, w)
         UC = 1.0 - kappamid * S - jnp.einsum("ap,ap->a", DoverC, w)

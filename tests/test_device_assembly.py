@@ -173,16 +173,34 @@ def test_device_path_matches_host_path(small_survey, monkeypatch):
 
 @pytest.mark.slow
 def test_multi_device_rounds_match_single_device(small_survey, monkeypatch):
-    """Groups scattered over 4 virtual devices produce the same block as a
-    single device (stamp-level data parallelism; VERDICT round-1 item 1)."""
+    """Groups column-band-sharded over 4 virtual devices produce the same
+    block as a single device (stamp-level data parallelism over the mesh
+    with shard_map solves + ICI quality collectives), with ZERO
+    device-to-device pool replication (band seams recompute locally)."""
     import jax
+
+    from pyimcom_tpu import coadd as coadd_mod
 
     if len(jax.local_devices()) < 4:
         pytest.skip("needs >= 4 devices (conftest forces 8 virtual)")
     tmp, cfg_dict = small_survey
-    out_1 = _run(cfg_dict, "_dev1", 6, monkeypatch, device=True, n_devices=1)
-    out_4 = _run(cfg_dict, "_dev4", 6, monkeypatch, device=True, n_devices=4)
+    # STOP=8 -> two full 2x2 groups in one row: the round has one group per
+    # column band, so the shard_map mesh solve engages and the band seam
+    # between the groups exercises the local-recompute path
+    out_1 = _run(cfg_dict, "_dev1", 8, monkeypatch, device=True, n_devices=1)
+    blocks = []
+    orig_call = coadd_mod.Block.__call__
+
+    def spy_call(self):
+        blocks.append(self)
+        return orig_call(self)
+
+    monkeypatch.setattr(coadd_mod.Block, "__call__", spy_call)
+    out_4 = _run(cfg_dict, "_dev4", 8, monkeypatch, device=True, n_devices=4)
     _compare_outputs(out_1, out_4, atol_sci=1e-12)
+    assert blocks and blocks[-1]._cross_device_puts == 0
+    # the mesh solve path actually ran (rounds with >1 live group)
+    assert getattr(blocks[-1], "_round_stats", None) is not None
 
 
 def test_solve_finalize_iterative_matches_kernel():

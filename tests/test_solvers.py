@@ -275,3 +275,32 @@ def test_eigen_device_emulation_matches_eigen(system):
     UC_exact, N_exact = exact_quality(np.asarray(Td)[:, :, :], np.asarray(Ap),
                                       np.asarray(Bp), np.asarray(C))
     np.testing.assert_allclose(np.asarray(Ud), UC_exact, rtol=0, atol=1e-8)
+
+
+def test_eigen_device_node_count_resolution(system):
+    """Characterize eigen_solve_device's kappa resolution vs node count
+    (VERDICT r2 weak 4): the dense geomspace grid bounds per-pixel kappa
+    error by the node spacing, so the coadded-image error vs the exact
+    eigenbasis bisection must shrink (or stay at roundoff) as nodes grow,
+    and every count stays within the cross-kernel tolerance class."""
+    from pyimcom_tpu.solvers import eigen_solve_device
+
+    A, mBhalf, C, _ = system
+    n = A.shape[0]
+    npad = ((n + 127) // 128) * 128
+    Ap = jnp.eye(npad, dtype=A.dtype).at[:n, :n].set(A)
+    Bp = jnp.zeros((1, mBhalf.shape[1], npad)).at[:, :, :n].set(mBhalf)
+    kappaC = jnp.array([1e-5, 1e-4, 1e-3])
+    Te, _, _, _ = eigen_solve(Ap, Bp, C, kappaC, UCMIN, SMAX)
+    data = np.asarray(Bp)[0, 12, :]
+    data = data / np.abs(data).max()
+    img_e = np.asarray(Te[0]) @ data
+
+    errs = {}
+    for nodes in (5, 9, 17):
+        Td, _, _, _ = eigen_solve_device(Ap, Bp, C, kappaC, UCMIN, SMAX,
+                                         n_nodes=nodes)
+        errs[nodes] = float(np.std(np.asarray(Td[0]) @ data - img_e))
+    assert errs[17] <= errs[5] + 1e-9
+    for nodes, e in errs.items():
+        assert e < 5e-6, (nodes, errs)
