@@ -20,6 +20,7 @@ from __future__ import annotations
 
 
 import os
+import time
 from itertools import combinations, product
 from os.path import exists
 
@@ -525,6 +526,9 @@ class Block:
                   f"{float(stats['uc_max']) ** 0.5:.3E}, Sigma_max = "
                   f"{float(stats['sigma_max']):.3E}", flush=True)
         self.build_output_file(is_final=True)
+        p = self._ckpt_file()
+        if p and os.path.exists(p):
+            os.remove(p)   # the finished block supersedes the snapshot
         _profile_report(f"block {self.this_sub}")
         print(f"finished at t = {self.timer():.2f} s", flush=True)
 
@@ -1001,6 +1005,16 @@ class Block:
         if prec == "mixed":
             return "mixed"
         if jax.default_backend() != "cpu":
+            # Auto solver on accelerators: f32 MXU factorization + f64
+            # iterative refinement reaches the f64 floor when the kappa
+            # floor keeps cond(A+kappa*C)*eps_f32 << 1 (measured 4e-13 of
+            # scale at kappaC=5e-4, n=5248, ~28x faster than the
+            # emulated-f64 blocked factorization); tiny kappa nodes fall
+            # back to blocked f64.  SOLVERPREC: f64 forces blocked.
+            if (prec != "f64"
+                    and min(self.cfg.kappaC_arr) >= float(os.environ.get(
+                        "PYIMCOM_MIXED_KAPPA_MIN", "1e-4"))):
+                return "mixed"
             return "blocked"   # monolithic f64 cholesky does not compile on TPU
         return "monolithic"
 
@@ -1017,19 +1031,24 @@ class Block:
         return devs
 
     def _group_infos(self, group):
-        """Per-stamp input selections of one 2x2 group; zero-input stamps
-        are accumulated (exactly zero contributions, order-independent) and
-        excluded from the returned list."""
-        infos = []
+        """Per-stamp input selections of one 2x2 group.
+
+        Returns (infos, zeros): zero-input stamps release their sim-pass
+        cache references here (bookkeeping must follow plan order) but
+        their map contributions are deferred to drain time via `zeros`, so
+        the accumulated maps always correspond exactly to the drained
+        prefix of groups (checkpoint consistency under pipelining)."""
+        infos, zeros = [], []
         for (j_st, i_st) in group:
             print(f"postage stamp {i_st:2d},{j_st:2d}  t= {self.timer():9.2f} s",
                   flush=True)
             info = self._stamp_inputs(j_st, i_st)
             if info["n"] == 0:
-                self._zero_stamp(j_st, i_st, info["ji_in_s"])
+                self._zero_stamp_refs(info["ji_in_s"])
+                zeros.append((j_st, i_st))
             else:
                 infos.append((j_st, i_st, info))
-        return infos
+        return infos, zeros
 
     def _coadd_group_device(self, group, device=None, infos=None,
                             n_pad=None, defer_solve=False):
@@ -1085,9 +1104,11 @@ class Block:
         CH = self.CHUNK
 
         if infos is None:
-            infos = self._group_infos(group)
+            infos, zeros = self._group_infos(group)
+        else:
+            zeros = []
         if not infos:
-            return
+            return [(infos, None, 0, zeros)] if zeros else []
 
         if n_pad is None:
             n_pad = max(SOLVE_BUCKET, int(np.ceil(
@@ -1324,6 +1345,7 @@ class Block:
                 pool_holder["arr"] = assemble.scatter_pool_constant(
                     pool_holder["arr"], put(consts.astype(dt_np)),
                     put(meta), CH)
+            _sync((pool_holder["arr"], Bflat))
 
         # register fresh submatrices; release their overlap-stack references
         for key, (base, n1s, n2s, jA, jB, okey, seam) in fresh.items():
@@ -1380,6 +1402,7 @@ class Block:
                 meta[:len(rows)] = rows
                 A_flat = fn(A_flat, holder["arr"], put(meta), selmap,
                             CH, n_pad)
+            _sync(A_flat)
 
         # ---- batched solve + coadd: one dispatch for the whole group -------
         with _phase("stamp.solve"):
@@ -1424,7 +1447,8 @@ class Block:
                 C, kappaC, put(data), put(onehot), fade, put(rel_np),
                 cfg.uctarget, cfg.sigmamax, cfg.iter_rtol,
                 n2 * n2, solver, exact_UC, cfg.iter_max)
-        return [(infos, out, 0)]
+            _sync(out)
+        return [(infos, out, 0, zeros)]
 
     def _group_combined_stack(self, stacks, dt, device):
         """Concatenate the group's overlap stacks on `device` (one dispatch)."""
@@ -1445,15 +1469,22 @@ class Block:
     def _drain_group_results(self, results):
         """Download the stacked device outputs and accumulate them.
 
-        Records are (infos, out, row_offset); mesh rounds share one `out`
-        dict of globally-sharded arrays across their groups (downloaded
-        once, cached by identity)."""
+        Records are (infos, out, row_offset, zeros); mesh rounds share one
+        `out` dict of globally-sharded arrays across their groups
+        (downloaded once, cached by identity).  Zero-input stamps deferred
+        from plan time accumulate here, so the maps always equal the
+        drained-group prefix (checkpoint consistency)."""
         cfg = self.cfg
         n_out, n2f = cfg.n_out, cfg.n2f
         host_cache = {}
         # ---- drain: one stacked download per group + host accumulation -----
         with _phase("solve.download"):
-            for infos, out, off in results:
+            for infos, out, off, zeros in results:
+                for (j_z, i_z) in zeros:
+                    self._zero_stamp_acc(j_z, i_z)
+                self._groups_drained += 1
+                if out is None:
+                    continue
                 host = host_cache.get(id(out))
                 if host is None:
                     dbg = os.environ.get("PYIMCOM_DEBUG_DRAIN") == "1"
@@ -1483,6 +1514,7 @@ class Block:
                         host["Neff"][s_idx].reshape(n_out, n2f, n2f),
                         host["Tsum_stamp"][s_idx])
                     self._consume_refs(info["ji_in_s"])
+        self._maybe_ckpt()
 
     def _enqueue_submat_rows(self, calls, rec, sel_off, s_idx, dstA_base,
                              sym, device=None):
@@ -1545,6 +1577,14 @@ class Block:
             self.kappa_map = np.zeros(shape, dtype=np.float32) if "K" in outmaps else None
             self.Tsum_map = np.zeros(shape, dtype=np.float32) if "T" in outmaps else None
             self.Neff_map = np.zeros(shape, dtype=np.float32) if "N" in outmaps else None
+            self._groups_drained = 0
+            self._ckpt_t_last = time.time()
+            if getattr(self, "_ckpt_maps", None):
+                for name, arr in self._ckpt_maps.items():
+                    cur = getattr(self, name, None)
+                    if cur is not None and cur.shape == arr.shape:
+                        cur[...] = arr
+                self._ckpt_maps = None
 
         # the 2x2 iteration blocks require even stamp counts per axis
         # (reference coadd.py:2052-2055; auto padding must keep n1 + pads
@@ -1582,10 +1622,25 @@ class Block:
                     done = True
                     break
 
+        # checkpoint resume: skip the completed scan-order prefix in BOTH
+        # passes (the sim pass must count references only for the stamps
+        # the real pass will actually run)
+        if sim_mode:
+            self._ckpt_load(len(groups))
+        k0 = getattr(self, "_ckpt_base", 0)
+        if k0:
+            groups = groups[k0:]
+            if sim_mode:
+                print(f"checkpoint: skipping {k0} completed groups",
+                      flush=True)
+
         if not use_device:
             for group in groups:
                 for (j, i) in group:
                     self._output_stamp(j, i, sim_mode)
+                if not sim_mode:
+                    self._groups_drained += 1
+                    self._maybe_ckpt()
             return
 
         depth = max(1, int(os.environ.get("PYIMCOM_PIPELINE_DEPTH", "2")))
@@ -1606,6 +1661,69 @@ class Block:
             self._coadd_groups_banded(groups, devices, push)
         for records in in_flight:
             self._drain_group_results(records)
+
+    # ----- block checkpoint / resume -------------------------------------
+    #
+    # PYIMCOM_CHECKPOINT=1 snapshots the accumulated output maps plus the
+    # count of fully drained 2x2 groups every PYIMCOM_CKPT_SEC seconds
+    # (default 600).  A rerun of the same block resumes after the saved
+    # scan-order prefix -- both the sim pass (reference counting) and the
+    # real pass skip the same groups, so cache bookkeeping stays exact.
+    # Zero-input stamps accumulate at drain time (never ahead of the
+    # drained prefix), so the snapshot is always consistent.  The reference
+    # has no intra-block restart (its envelope restarts whole blocks,
+    # scripts/writejob_example.pl); this enables multi-hour production
+    # blocks to survive preemption and tunnel outages.
+
+    _CKPT_MAPS = ("out_map", "T_weightmap", "UC_map", "Sigma_map",
+                  "kappa_map", "Tsum_map", "Neff_map")
+
+    def _ckpt_file(self):
+        if os.environ.get("PYIMCOM_CHECKPOINT", "0") != "1":
+            return None
+        return self.outstem + ".ckpt.npz"
+
+    def _ckpt_load(self, n_groups):
+        """Read a prior snapshot (called once, from the sim pass)."""
+        self._ckpt_base = 0
+        self._ckpt_maps = None
+        self._ckpt_n_groups = n_groups
+        p = self._ckpt_file()
+        if not p or not os.path.exists(p):
+            return
+        with np.load(p) as z:
+            if int(z["n_groups"]) != n_groups or int(z["nrun"]) != self.nrun:
+                print(f"checkpoint: {p} is for a different geometry "
+                      f"(n_groups {int(z['n_groups'])} != {n_groups}); "
+                      f"ignoring", flush=True)
+                return
+            self._ckpt_base = int(z["groups_done"])
+            self._ckpt_maps = {k: z[k] for k in z.files
+                               if k in self._CKPT_MAPS}
+        print(f"checkpoint: resuming after {self._ckpt_base}/{n_groups} "
+              f"groups from {p}", flush=True)
+
+    def _maybe_ckpt(self, force=False):
+        p = self._ckpt_file()
+        if not p:
+            return
+        every = float(os.environ.get("PYIMCOM_CKPT_SEC", "600"))
+        if not force and time.time() - self._ckpt_t_last < every:
+            return
+        arrs = {"groups_done": np.int64(self._ckpt_base
+                                        + self._groups_drained),
+                "n_groups": np.int64(self._ckpt_n_groups),
+                "nrun": np.int64(self.nrun)}
+        for name in self._CKPT_MAPS:
+            a = getattr(self, name, None)
+            if a is not None:
+                arrs[name] = a
+        tmp = p + ".tmp.npz"
+        np.savez(tmp, **arrs)
+        os.replace(tmp, p)
+        self._ckpt_t_last = time.time()
+        print(f"checkpoint: saved {int(arrs['groups_done'])} groups "
+              f"-> {p}", flush=True)
 
     def _coadd_groups_banded(self, groups, devices, push):
         """
@@ -1648,7 +1766,12 @@ class Block:
                 row_records += self._solve_round(entries)
                 r += 1
             # records of one row, reordered to scan order for the drain
-            row_records.sort(key=lambda rec: (rec[0][0][0], rec[0][0][1]))
+            def scan_key(rec):
+                infos, _out, _off, zeros = rec
+                j, i = infos[0][:2] if infos else zeros[0]
+                return (j, i)
+
+            row_records.sort(key=scan_key)
             push(row_records)
 
     def _solve_round(self, entries):
@@ -1666,33 +1789,38 @@ class Block:
 
         cfg = self.cfg
         planned = []
+        zero_records = []   # all-zero groups: map writes deferred to drain
         for g, d in entries:
-            infos = self._group_infos(g)
+            infos, zeros = self._group_infos(g)
             if infos:
-                planned.append((g, d, infos))
+                planned.append((g, d, infos, zeros))
+            elif zeros:
+                zero_records.append(([], None, 0, zeros))
         if not planned:
-            return []
+            return zero_records
         use_mesh = (len(planned) > 1
-                    and len({len(i) for _g, _d, i in planned}) == 1
+                    and len({len(i) for _g, _d, i, _z in planned}) == 1
                     and os.environ.get("PYIMCOM_MESH_SOLVE", "1") == "1")
         if not use_mesh:
-            records = []
-            for g, d, infos in planned:
-                records += self._coadd_group_device(g, d, infos=infos) or []
+            records = zero_records
+            for g, d, infos, zeros in planned:
+                recs = self._coadd_group_device(g, d, infos=infos) or []
+                records += [(inf, out, off, zeros)
+                            for (inf, out, off, _z) in recs]
             return records
 
         # one n_pad across the round so the shard shapes match (padding is
         # neutral: identity diagonal, zero B columns)
         n_pad = max(SOLVE_BUCKET, int(np.ceil(
-            max(i[2]["n"] for _g, _d, infos in planned for i in infos)
+            max(i[2]["n"] for _g, _d, infos, _z in planned for i in infos)
             / SOLVE_BUCKET) * SOLVE_BUCKET))
         parts = []
-        for g, d, infos in planned:
+        for g, d, infos, _zeros in planned:
             parts.append(self._coadd_group_device(
                 g, d, infos=infos, n_pad=n_pad, defer_solve=True))
         S = parts[0][1]["S"]
         solver = parts[0][1]["solver"]
-        devs = [d for _g, d, _i in planned]
+        devs = [d for _g, d, _i, _z in planned]
         mesh = Mesh(np.array(devs, dtype=object), ("s",))
         sh = NamedSharding(mesh, P("s"))
         repl = NamedSharding(mesh, P())
@@ -1718,8 +1846,9 @@ class Block:
             cfg.uctarget, cfg.sigmamax, cfg.iter_rtol, cfg.n2 * cfg.n2,
             solver, len(cfg.kappaC_arr) > 1, cfg.iter_max)
         self._round_stats = stats  # device scalars; printed at block end
-        return [(infos, out, k * S)
-                for k, (_g, _d, infos) in enumerate(planned)]
+        return zero_records + [(infos, out, k * S, zeros)
+                               for k, (_g, _d, infos, zeros)
+                               in enumerate(planned)]
 
     def _sim_count(self, ji_in_s, ji_out):
         """Simulation pass: count every cache reference this stamp will make."""
@@ -1803,6 +1932,11 @@ class Block:
     def _zero_stamp(self, j_st, i_st, ji_in_s):
         """Stamp with no input pixels: U=C, Sigma=0, kappa=1 (reference
         lakernel.py:109-119); releases every sim-pass reference."""
+        self._zero_stamp_acc(j_st, i_st)
+        self._zero_stamp_refs(ji_in_s)
+
+    def _zero_stamp_acc(self, j_st, i_st):
+        """Map contributions of a zero-input stamp (accumulation only)."""
         cfg = self.cfg
         n_out, n2f = cfg.n_out, cfg.n2f
         self._accumulate(j_st, i_st, np.zeros((n_out, cfg.n_inframe, n2f, n2f),
@@ -1813,6 +1947,10 @@ class Block:
                          np.zeros((n_out, n2f, n2f), np.float32),
                          np.ones((n_out, n2f, n2f), np.float32),
                          np.zeros((n_out, self.n_inimage), np.float32))
+
+    def _zero_stamp_refs(self, ji_in_s):
+        """Release every sim-pass reference a zero-input stamp holds."""
+        cfg = self.cfg
         if not (cfg.linear_algebra == "Empirical" and cfg.no_qlt_ctrl):
             for ji in ji_in_s:
                 self._drop_iisubmat_ref(ji, ji)

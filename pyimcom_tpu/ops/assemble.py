@@ -194,6 +194,9 @@ def sweep_scatter_scan(pool, Bflat, combined, xt, yt, ks, imeta, pmeta,
     return pool, Bflat
 
 
+SOLVE_MAP_N = 2048   # above this n_pad, batch solves sequentially (lax.map)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n2sq", "solver", "exact_UC", "maxiter"))
@@ -202,17 +205,29 @@ def solve_finalize_batch(A, mBhalf, C, kappaC, data, img_onehot, fade,
                          solver: str = "blocked", exact_UC: bool = True,
                          maxiter: int = 30):
     """
-    vmap of :func:`solve_finalize` over the group's stamp axis: A (S, n,
+    Batch of :func:`solve_finalize` over the group's stamp axis: A (S, n,
     n), mBhalf (S, n_out, m, n), data (S, n_inframe, n), img_onehot (S, n,
     n_img), relevant (S, m, n) or (S, 1, 1).  One dispatch solves and
     coadds every stamp of the group; on a device mesh this is the batch
     axis that `parallel.mesh` shards (SURVEY.md section 2.2 TPU mapping).
+
+    Small systems vmap (one big fused program keeps the MXU busy); above
+    SOLVE_MAP_N the stamps run sequentially inside the same program with
+    lax.map -- vmapping the blocked-Cholesky fori_loop at production sizes
+    makes XLA:TPU pick batch-minor layouts for the remat copies of A
+    (f32[S,1,1,n,n]{0,4,...} tiled (8,128) over a size-S dim: 32x padding,
+    13 GiB per copy, 159 GiB total at n=5248).  Sequential stamps keep the
+    unbatched layouts and bound temp memory to one stamp's working set;
+    a single n=5k Cholesky already saturates the MXU, so nothing is lost.
     """
     def one(A_, B_, d_, oh_, rel_):
         return solve_finalize(A_, B_, C, kappaC, d_, oh_, fade, rel_,
                               ucmin, smax, rtol, n2sq, solver, exact_UC,
                               maxiter)
 
+    if A.shape[-1] > SOLVE_MAP_N:
+        return jax.lax.map(lambda t: one(*t),
+                           (A, mBhalf, data, img_onehot, relevant))
     return jax.vmap(one)(A, mBhalf, data, img_onehot, relevant)
 
 

@@ -62,6 +62,15 @@ def dft2_real(x: jnp.ndarray, nfft: int):
     return xr, xi
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_window_mats_np(nfft: int, novl: int, dtype: str):
+    """Inverse-DFT matrices restricted to the rolled novl-window rows."""
+    fr, fi = _dft_mats_np(nfft, dtype)
+    nc = novl // 2
+    idx = (np.arange(novl) - nc) % nfft
+    return fr[idx, :].copy(), fi[idx, :].copy()
+
+
 @functools.partial(jax.jit, static_argnames=("nfft", "novl", "pad"))
 def overlap_from_spectra(x1r, x1i, x2r, x2i, nfft: int, novl: int,
                          pad: int = 0):
@@ -72,24 +81,30 @@ def overlap_from_spectra(x1r, x1i, x2r, x2i, nfft: int, novl: int,
     :func:`dft2_real`.  Returns (n1*n2, novl+2*pad, novl+2*pad) with the
     zero lag at the (rolled) center, matching the host f64 path in
     psfgrp.build_overlap_stack.
+
+    Only the rolled novl-window of the correlation is ever consumed, so
+    the inverse transform contracts with (novl, nfft) window matrices
+    instead of the full (nfft, nfft) DFT: 4*W*N^2 + 2*W^2*N MXU FLOPs per
+    pair instead of 6*N^3 (~2.3x fewer at production W/N ~ 0.5), and the
+    roll+slice disappears.
     """
-    fr, fi = dft_matrices(nfft, x1r.dtype)
+    wr_np, wi_np = _dft_window_mats_np(nfft, novl,
+                                       np.dtype(x1r.dtype).name)
+    wr, wi = jnp.asarray(wr_np), jnp.asarray(wi_np)
     # P = X1 * conj(X2), all pairs
     pr = x1r[:, None] * x2r[None, :] + x1i[:, None] * x2i[None, :]
     pi = x1i[:, None] * x2r[None, :] - x1r[:, None] * x2i[None, :]
     n1, n2 = pr.shape[:2]
     pr = pr.reshape(n1 * n2, nfft, nfft)
     pi = pi.reshape(n1 * n2, nfft, nfft)
-    # inverse: real( conj(F) P conj(F) ) / nfft^2
-    br = jnp.einsum("ij,bjk->bik", fr, pr, precision=_HI) \
-        + jnp.einsum("ij,bjk->bik", fi, pi, precision=_HI)
-    bi = jnp.einsum("ij,bjk->bik", fr, pi, precision=_HI) \
-        - jnp.einsum("ij,bjk->bik", fi, pr, precision=_HI)
-    cr = jnp.einsum("bik,kj->bij", br, fr, precision=_HI) \
-        + jnp.einsum("bik,kj->bij", bi, fi, precision=_HI)
+    # inverse on the window: real( conj(W) P conj(W)^T ) / nfft^2
+    br = jnp.einsum("ij,bjk->bik", wr, pr, precision=_HI) \
+        + jnp.einsum("ij,bjk->bik", wi, pi, precision=_HI)
+    bi = jnp.einsum("ij,bjk->bik", wr, pi, precision=_HI) \
+        - jnp.einsum("ij,bjk->bik", wi, pr, precision=_HI)
+    cr = jnp.einsum("bik,jk->bij", br, wr, precision=_HI) \
+        + jnp.einsum("bik,jk->bij", bi, wi, precision=_HI)
     corr = cr / (nfft * nfft)
-    nc = novl // 2
-    corr = jnp.roll(corr, (nc, nc), axis=(-2, -1))[..., :novl, :novl]
     if pad:
         corr = jnp.pad(corr, ((0, 0), (pad, pad), (pad, pad)))
     return corr

@@ -63,12 +63,20 @@ def _mesh_solve_fn(mesh: Mesh, n2sq: int, solver: str, exact_UC: bool,
                    P(axis), P(axis), P(axis)),
     )
     def step(A, mB, C_, kC_, data, onehot, fade, rel):
+        from ..ops.assemble import SOLVE_MAP_N
+
         def one(A_, B_, d_, oh_, rel_):
             return solve_finalize(A_, B_, C_, kC_, d_, oh_, fade, rel_,
                                   ucmin, smax, rtol, n2sq, solver,
                                   exact_UC, maxiter)
 
-        out = jax.vmap(one)(A, mB, data, onehot, rel)
+        if A.shape[-1] > SOLVE_MAP_N:
+            # sequential per-stamp solves inside the shard (vmapping the
+            # blocked-Cholesky loop at production n picks pathological
+            # batch-minor layouts; see ops.assemble.solve_finalize_batch)
+            out = jax.lax.map(lambda t: one(*t), (A, mB, data, onehot, rel))
+        else:
+            out = jax.vmap(one)(A, mB, data, onehot, rel)
         # per-shard partials; reduced over the mesh by _mesh_stats_fn
         uc_max = jnp.max(out["UC"])[None]
         sig_max = jnp.max(out["Sigma"])[None]

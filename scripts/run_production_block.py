@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""
+Full production-geometry block coadd with crash/hang resilience.
+
+Coadds ONE production-size block -- OUTSIZE [80, 32, 0.0390625] (2560^2
+output px, 6400 postage stamps), INPAD 1.055", NPIXPSF 48, the geometry of
+the reference's default_config.json / writejob production envelope
+(reference configs/default_config.json, scripts/writejob_example.pl:88-95)
+-- on the default accelerator, end to end.
+
+The remote-TPU tunnel on this machine can hang for tens of minutes, so the
+block runs in a child process with PYIMCOM_CHECKPOINT=1 (Block snapshots
+the accumulated maps + drained-group count); a watchdog restarts the child
+whenever its log stops advancing, and the rerun resumes after the saved
+scan-order prefix.  Progress is durable across any number of restarts.
+
+Writes <repo>/PRODUCTION_r03.json with wall time, s/stamp, and
+blocks/hour/chip when the block completes.
+
+Usage: python scripts/run_production_block.py [--stall-sec 1200]
+       [--max-hours 11] [--ckpt-sec 300]
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import signal
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+WORK = pathlib.Path("/tmp/pyimcom_prod")
+LOG = WORK / "production_block.log"
+CHILD = r"""
+import json, os, pathlib, sys, time
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", sys.argv[2])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+sys.path.insert(0, sys.argv[3])
+from pyimcom_tpu.config import Config
+from pyimcom_tpu.coadd import Block
+cfg_dict = json.loads(pathlib.Path(sys.argv[1]).read_text())
+cfg_dict["STOP"] = 0
+cfg_dict["OUT"] = cfg_dict["OUT"] + "_full"
+print("backend:", jax.default_backend(), flush=True)
+t0 = time.time()
+Block(cfg=Config(cfg_dict), this_sub=1)
+print(f"CHILD_DONE wall={time.time() - t0:.1f}", flush=True)
+"""
+
+
+def launch(env):
+    f = open(LOG, "ab")
+    p = subprocess.Popen(
+        [sys.executable, "-c", CHILD, str(WORK / "cfg.json"),
+         str(REPO / ".jax_cache_tpu"), str(REPO)],
+        stdout=f, stderr=subprocess.STDOUT, env=env,
+        start_new_session=True)
+    return p, f
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stall-sec", type=int, default=1200,
+                    help="restart the child if the log is static this long")
+    ap.add_argument("--max-hours", type=float, default=11.0)
+    ap.add_argument("--ckpt-sec", type=int, default=300)
+    args = ap.parse_args()
+
+    assert (WORK / "cfg.json").exists(), \
+        "run 'python bench.py --production' once first to build the survey"
+
+    env = dict(os.environ)
+    env.update({
+        "PYIMCOM_CHECKPOINT": "1",
+        "PYIMCOM_CKPT_SEC": str(args.ckpt_sec),
+    })
+
+    out_fits = WORK / "out" / "testout_F_full_00_01.fits"
+    ckpt = WORK / "out" / "testout_F_full_00_01.ckpt.npz"
+    t_start = time.time()
+    n_restarts = 0
+
+    while True:
+        p, f = launch(env)
+        try:
+            while True:
+                time.sleep(60)
+                rc = p.poll()
+                if rc is not None:
+                    break
+                age = time.time() - LOG.stat().st_mtime
+                run_h = (time.time() - t_start) / 3600.0
+                if age > args.stall_sec:
+                    print(f"[watchdog] log static {age:.0f}s "
+                          f"-> restart (#{n_restarts + 1})", flush=True)
+                    os.killpg(p.pid, signal.SIGKILL)
+                    p.wait()
+                    n_restarts += 1
+                    rc = None
+                    break
+                if run_h > args.max_hours:
+                    print("[watchdog] max-hours reached; leaving checkpoint "
+                          "for a later resume", flush=True)
+                    os.killpg(p.pid, signal.SIGKILL)
+                    p.wait()
+                    return 2
+        finally:
+            f.close()
+        if rc == 0 and out_fits.exists():
+            break
+        if rc is not None and rc != 0:
+            n_restarts += 1
+            print(f"[watchdog] child exited rc={rc} "
+                  f"-> restart (#{n_restarts})", flush=True)
+        time.sleep(10)
+
+    wall = time.time() - t_start
+    n_stamps = 80 * 80
+    result = {
+        "metric": "production_block_wall_hours",
+        "value": round(wall / 3600.0, 3),
+        "unit": (f"hours for one 2560^2-px block (6400 stamps, INPAD "
+                 f"1.055\") on one chip; {wall / n_stamps:.2f} s/stamp; "
+                 f"{n_restarts} tunnel restarts"),
+        "blocks_per_hour_per_chip": round(3600.0 / wall, 4),
+        "s_per_stamp": round(wall / n_stamps, 3),
+        "restarts": n_restarts,
+        "output": str(out_fits),
+        "checkpoint_left": ckpt.exists(),
+    }
+    (REPO / "PRODUCTION_r03.json").write_text(json.dumps(result) + "\n")
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
