@@ -38,6 +38,10 @@ from .wcsutil import WCS
 # bilinear resampling operators (exact adjoint pair)
 # ---------------------------------------------------------------------------
 
+_FORCE_HOST = False  # set in destripe pool workers: forked children must
+#                      not touch JAX (its locks may be held by the parent)
+
+
 def bilinear_gather(image: np.ndarray, xf: np.ndarray, yf: np.ndarray,
                     g_eff: np.ndarray = None) -> np.ndarray:
     """
@@ -47,6 +51,8 @@ def bilinear_gather(image: np.ndarray, xf: np.ndarray, yf: np.ndarray,
     excludes the last row/column).  On accelerators the gather runs on
     device (ops.bilinear); the host path is the numpy reference.
     """
+    if _FORCE_HOST:
+        return _bilinear_gather_np(image, xf, yf, g_eff)
     import jax
 
     if jax.default_backend() != "cpu":
@@ -65,7 +71,10 @@ def bilinear_gather(image: np.ndarray, xf: np.ndarray, yf: np.ndarray,
             out = bilinear_gather_device(jnp.asarray(image),
                                          jnp.asarray(xf), jnp.asarray(yf))
         return np.asarray(out)
+    return _bilinear_gather_np(image, xf, yf, g_eff)
 
+
+def _bilinear_gather_np(image, xf, yf, g_eff=None):
     ny, nx = image.shape
     x0 = np.floor(xf).astype(np.int64)
     y0 = np.floor(yf).astype(np.int64)
@@ -100,17 +109,18 @@ def bilinear_scatter_adjoint(values: np.ndarray, xf: np.ndarray, yf: np.ndarray,
     scatter each value back onto the source grid with the same weights.
     On accelerators the scatter runs on device (ops.bilinear).
     """
-    import jax
+    if not _FORCE_HOST:
+        import jax
 
-    if jax.default_backend() != "cpu":
-        import jax.numpy as jnp
+        if jax.default_backend() != "cpu":
+            import jax.numpy as jnp
 
-        from .ops.bilinear import bilinear_scatter_adjoint_device
+            from .ops.bilinear import bilinear_scatter_adjoint_device
 
-        out = bilinear_scatter_adjoint_device(
-            jnp.asarray(values), jnp.asarray(xf), jnp.asarray(yf),
-            tuple(shape))
-        return np.asarray(out)
+            out = bilinear_scatter_adjoint_device(
+                jnp.asarray(values), jnp.asarray(xf), jnp.asarray(yf),
+                tuple(shape))
+            return np.asarray(out)
 
     ny, nx = shape
     x0 = np.floor(xf).astype(np.int64)
@@ -415,6 +425,24 @@ class Sca_img:
 # cost and gradient over the exposure set
 # ---------------------------------------------------------------------------
 
+_POOL_SELF = None  # fork-pool handle (children inherit the problem object)
+
+
+def _pool_worker_init():
+    global _FORCE_HOST
+    _FORCE_HOST = True
+
+
+def _pool_cost_i(args):
+    i, params = args
+    return _POOL_SELF._cost_i(i, _POOL_SELF._destriped_images(params))
+
+
+def _pool_grad_i(args):
+    i, params = args
+    return _POOL_SELF._grad_i(i, _POOL_SELF._destriped_images(params))
+
+
 class DestripeProblem:
     """
     The destriping optimization problem over a set of overlapping SCAs.
@@ -427,7 +455,8 @@ class DestripeProblem:
     """
 
     def __init__(self, scas, neighbors, cost_model="quadratic", hub_thresh=1.0,
-                 amp_cols=None, mask=None, col_boundary_const=0.0):
+                 amp_cols=None, mask=None, col_boundary_const=0.0,
+                 use_device=None, workers=None):
         self.scas = scas
         self.neighbors = neighbors
         self.cost_model = cost_model
@@ -437,14 +466,75 @@ class DestripeProblem:
         self.npar_each = [n_params(s.image.shape, amp_cols) for s in scas]
         self.offsets = np.concatenate([[0], np.cumsum(self.npar_each)])
         self.mask = mask  # optional list of bool arrays (True = use pixel)
-        # precompute pixel mappings per (target, reference) pair
+        # precompute pixel mappings per (target, reference) pair.
+        # PYIMCOM_DESTRIPE_MAP_DTYPE=f32 halves the map footprint (the
+        # positions carry interpolation accuracy only);
+        # PYIMCOM_DESTRIPE_MEMMAP=1 spills them to disk-backed memmaps
+        # (reference memmaps its psi planes, imdestripe.py:1627-1633).
+        map_dt = {"f32": np.float32, "f64": np.float64}[
+            os.environ.get("PYIMCOM_DESTRIPE_MAP_DTYPE", "f64")]
+        self._map_tmp = None
+        if os.environ.get("PYIMCOM_DESTRIPE_MEMMAP", "0") == "1":
+            import tempfile
+
+            self._map_tmp = tempfile.TemporaryDirectory(
+                prefix="pyimcom_destripe_maps_")
         self._maps = {}
         for i, js in neighbors.items():
             for j in js:
                 if (i, j) not in self._maps:
                     nside = scas[i].image.shape[-1]
-                    self._maps[(i, j)] = compareutils.map_sca2sca(
-                        scas[i].w, scas[j].w, pad=0, nside=nside)
+                    xf, yf, inb = compareutils.map_sca2sca(
+                        scas[i].w, scas[j].w, pad=0, dtype=map_dt,
+                        nside=nside)
+                    if self._map_tmp is not None:
+                        xf = self._to_memmap(xf, f"xf_{i}_{j}")
+                        yf = self._to_memmap(yf, f"yf_{i}_{j}")
+                    self._maps[(i, j)] = (xf, yf, inb)
+        if use_device is None:
+            import jax
+
+            use_device = (jax.default_backend() != "cpu"
+                          if os.environ.get("PYIMCOM_DESTRIPE_DEVICE") is None
+                          else os.environ["PYIMCOM_DESTRIPE_DEVICE"] == "1")
+        self.use_device = bool(use_device)
+        self._device = None
+        if workers is None:
+            workers = int(os.environ.get("PYIMCOM_DESTRIPE_WORKERS", "0"))
+        self.workers = 0 if self.use_device else int(workers)
+        self._pool = None
+
+    def _to_memmap(self, arr, tag):
+        path = os.path.join(self._map_tmp.name, tag + ".dat")
+        mm = np.memmap(path, dtype=arr.dtype, mode="w+", shape=arr.shape)
+        mm[...] = arr
+        mm.flush()
+        return mm
+
+    @property
+    def device_kernel(self):
+        """Lazily built whole-problem device evaluator
+        (ops.destripe_device.DeviceDestripe)."""
+        if self._device is None:
+            from .ops.destripe_device import DeviceDestripe
+
+            pairs = [(i, j) for i, js in sorted(self.neighbors.items())
+                     for j in js]
+            xf = np.stack([np.asarray(self._maps[p][0]).ravel()
+                           for p in pairs])
+            yf = np.stack([np.asarray(self._maps[p][1]).ravel()
+                           for p in pairs])
+            self._device = DeviceDestripe(
+                np.stack([s.image for s in self.scas]),
+                np.stack([s.g_eff for s in self.scas]),
+                np.stack(self.mask) if self.mask is not None else None,
+                pairs, xf, yf, amp_cols=self.amp_cols,
+                cost_model=self.cost_model, hub=self.hub,
+                col_boundary_const=self.col_boundary_const,
+                bmasks=[self.mask[i] if self.mask is not None
+                        else self.scas[i].mask
+                        for i in range(len(self.scas))])
+        return self._device
 
     def split(self, params):
         return [params[self.offsets[i]:self.offsets[i + 1]]
@@ -470,64 +560,104 @@ class DestripeProblem:
         valid = cnt > 0
         return np.where(valid, J, 0.0), valid
 
-    def cost(self, params) -> float:
-        imgs = self._destriped_images(params)
-        eps = 0.0
-        for i in range(len(self.scas)):
-            if not self.neighbors.get(i):
-                continue
-            J, valid = self._interpolated(imgs, i)
-            r = np.where(valid, imgs[i] - J, 0.0)
-            if self.mask is not None:
-                r = np.where(self.mask[i], r, 0.0)
-            f, _ = penalty(r, self.cost_model, self.hub)
-            eps += float(np.sum(f))
-            if self.amp_cols and self.col_boundary_const > 0:
-                m = self.mask[i] if self.mask is not None \
-                    else self.scas[i].mask
-                eps += compute_boundary_continuity_penalty(
-                    imgs[i], m, self.amp_cols, self.col_boundary_const)
+    def _cost_i(self, i, imgs) -> float:
+        """Cost contribution of target SCA i (host path)."""
+        J, valid = self._interpolated(imgs, i)
+        r = np.where(valid, imgs[i] - J, 0.0)
+        if self.mask is not None:
+            r = np.where(self.mask[i], r, 0.0)
+        f, _ = penalty(r, self.cost_model, self.hub)
+        eps = float(np.sum(f))
+        if self.amp_cols and self.col_boundary_const > 0:
+            m = self.mask[i] if self.mask is not None \
+                else self.scas[i].mask
+            eps += compute_boundary_continuity_penalty(
+                imgs[i], m, self.amp_cols, self.col_boundary_const)
         return eps
+
+    def cost(self, params) -> float:
+        if self.use_device:
+            return self.device_kernel.cost(params)
+        targets = [i for i in range(len(self.scas)) if self.neighbors.get(i)]
+        if self.workers > 1:
+            out = self._get_pool().map(
+                _pool_cost_i, [(i, params) for i in targets])
+            return float(sum(out))
+        imgs = self._destriped_images(params)
+        return float(sum(self._cost_i(i, imgs) for i in targets))
+
+    def _grad_i(self, i, imgs) -> dict:
+        """{param slot: gradient piece} of target SCA i's cost terms."""
+        js = self.neighbors.get(i)
+        out = {}
+        J, valid = self._interpolated(imgs, i)
+        r = np.where(valid, imgs[i] - J, 0.0)
+        if self.mask is not None:
+            r = np.where(self.mask[i], r, 0.0)
+        _, fp = penalty(r, self.cost_model, self.hub)
+        # direct term: d r / d params_i = -forward_par' -> -transpose_par
+        gi = -transpose_par(fp, self._cfg_like())
+        # boundary-continuity penalty term (cost() adds it, so the CG
+        # direction must see its gradient too; mask convention matches)
+        if self.amp_cols and self.col_boundary_const > 0:
+            m = self.mask[i] if self.mask is not None \
+                else self.scas[i].mask
+            gb = boundary_continuity_penalty_grad_image(
+                imgs[i], m, self.amp_cols, self.col_boundary_const)
+            gi = gi - transpose_par(gb, self._cfg_like())
+        out[i] = gi
+        # neighbor terms: dJ_i/dparams_j = -interp(forward_par)/count
+        _, cnt = self._interp_count(i)
+        fp_n = np.where(cnt > 0, fp / np.maximum(cnt, 1), 0.0)
+        for j in js:
+            xf, yf, _ = self._maps[(i, j)]
+            back = bilinear_scatter_adjoint(
+                fp_n.ravel(), np.asarray(xf).ravel(),
+                np.asarray(yf).ravel(), imgs[j].shape)
+            gj = transpose_par(back, self._cfg_like())
+            out[j] = out.get(j, 0.0) + gj
+        return out
 
     def gradient(self, params) -> np.ndarray:
         """
         d eps / d params: direct term through I_i plus the adjoint term
         through every neighbor's contribution to J_i
-        (reference residual_function, imdestripe.py:1231-1410).
+        (reference residual_function, imdestripe.py:1231-1410).  On
+        accelerators the whole cost is differentiated on device
+        (ops.destripe_device); PYIMCOM_DESTRIPE_WORKERS>1 fans the host
+        path out over a process pool (reference imdestripe.py:1288-1307).
         """
-        imgs = self._destriped_images(params)
+        if self.use_device:
+            return self.device_kernel.cost_and_grad(params)[1]
         grad = np.zeros_like(params)
-        for i in range(len(self.scas)):
-            js = self.neighbors.get(i)
-            if not js:
-                continue
-            J, valid = self._interpolated(imgs, i)
-            r = np.where(valid, imgs[i] - J, 0.0)
-            if self.mask is not None:
-                r = np.where(self.mask[i], r, 0.0)
-            _, fp = penalty(r, self.cost_model, self.hub)
-            # direct term: d r / d params_i = -forward_par' -> -transpose_par
-            gi = -transpose_par(fp, self._cfg_like())
-            grad[self.offsets[i]:self.offsets[i + 1]] += gi
-            # boundary-continuity penalty term (cost() adds it, so the CG
-            # direction must see its gradient too; mask convention matches)
-            if self.amp_cols and self.col_boundary_const > 0:
-                m = self.mask[i] if self.mask is not None \
-                    else self.scas[i].mask
-                gb = boundary_continuity_penalty_grad_image(
-                    imgs[i], m, self.amp_cols, self.col_boundary_const)
-                grad[self.offsets[i]:self.offsets[i + 1]] += \
-                    -transpose_par(gb, self._cfg_like())
-            # neighbor terms: dJ_i/dparams_j = -interp(forward_par)/count
-            _, cnt = self._interp_count(i)
-            fp_n = np.where(cnt > 0, fp / np.maximum(cnt, 1), 0.0)
-            for j in js:
-                xf, yf, _ = self._maps[(i, j)]
-                back = bilinear_scatter_adjoint(fp_n.ravel(), xf.ravel(), yf.ravel(),
-                                                imgs[j].shape)
-                gj = transpose_par(back, self._cfg_like())
+        targets = [i for i in range(len(self.scas)) if self.neighbors.get(i)]
+        if self.workers > 1:
+            pieces = self._get_pool().map(
+                _pool_grad_i, [(i, params) for i in targets])
+        else:
+            imgs = self._destriped_images(params)
+            pieces = [self._grad_i(i, imgs) for i in targets]
+        for d in pieces:
+            for j, gj in d.items():
                 grad[self.offsets[j]:self.offsets[j + 1]] += gj
         return grad
+
+    def _get_pool(self):
+        """Fork-based worker pool; children inherit this problem object and
+        run the pure-numpy path (JAX locks may be held by the parent)."""
+        if self._pool is None:
+            import multiprocessing as mp
+
+            global _POOL_SELF
+            _POOL_SELF = self
+            self._pool = mp.get_context("fork").Pool(
+                self.workers, initializer=_pool_worker_init)
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
 
     def _interp_count(self, i):
         cnt = np.zeros_like(self.scas[i].image)

@@ -316,3 +316,111 @@ def test_csv_iteration_log(tmp_path):
     assert rows[0] == _CSV_HEADER
     assert len(rows) >= 4
     assert float(rows[-1][6]) <= float(rows[1][6])  # cost decreases
+
+
+# ---------------------------------------------------------------------------
+# device-resident cost/gradient (ops.destripe_device), worker pool, memmaps
+# ---------------------------------------------------------------------------
+
+def test_device_problem_matches_host(monkeypatch):
+    """The whole-problem device evaluator (jax.value_and_grad over the
+    stacked pair scan) reproduces the host cost and gradient exactly for
+    uniform gain."""
+    rng = np.random.default_rng(21)
+    stripes = [rng.normal(scale=0.1, size=SIZE) for _ in range(3)]
+    host = _make_problem(stripes)
+    dev = DestripeProblem(host.scas, host.neighbors, use_device=True)
+    p = rng.normal(scale=0.01, size=host.offsets[-1])
+    np.testing.assert_allclose(dev.cost(p), host.cost(p), rtol=1e-12)
+    np.testing.assert_allclose(dev.gradient(p), host.gradient(p),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_device_gradient_exact_through_gain(monkeypatch):
+    """With non-uniform g_eff the device gradient is the EXACT derivative
+    of the cost (AD through the gain-weighted gather); check against
+    central finite differences of the device cost."""
+    rng = np.random.default_rng(22)
+    stripes = [rng.normal(scale=0.1, size=SIZE) for _ in range(3)]
+    base = _make_problem(stripes)
+    scas = [Sca_img(s.image, s.w, g_eff=rng.uniform(0.5, 2.0, s.image.shape),
+                    name=s.name) for s in base.scas]
+    prob = DestripeProblem(scas, base.neighbors, use_device=True)
+    p = rng.normal(scale=0.01, size=prob.offsets[-1])
+    g = prob.gradient(p)
+    for idx in [3, 57, 150, 222]:
+        h = 1e-6
+        dp = np.zeros_like(p)
+        dp[idx] = h
+        fd = (prob.cost(p + dp) - prob.cost(p - dp)) / (2 * h)
+        assert abs(fd - g[idx]) < 1e-4 * max(1.0, abs(fd)), (idx, fd, g[idx])
+
+
+def test_device_stripe_recovery_end_to_end():
+    """CG on the device path recovers injected stripes (the VERDICT r2
+    'both paths' e2e)."""
+    rng = np.random.default_rng(23)
+    stripes = [rng.normal(scale=0.2, size=SIZE) for _ in range(3)]
+    base = _make_problem(stripes)
+    prob = DestripeProblem(base.scas, base.neighbors, use_device=True)
+    params, _ = conjugate_gradient(prob, maxiter=25, log=lambda *a: None)
+    assert prob.cost(params) < 1e-6 * prob.cost(np.zeros_like(params))
+
+
+def test_device_problem_with_boundary_penalty():
+    """Device cost includes the amplifier boundary penalty; its AD
+    gradient matches finite differences."""
+    rng = np.random.default_rng(24)
+    stripes = [rng.normal(scale=0.1, size=SIZE) for _ in range(3)]
+    base = _make_problem(stripes)
+    mask = [rng.random((SIZE, SIZE)) > 0.1 for _ in range(3)]
+    host = DestripeProblem(base.scas, base.neighbors, amp_cols=SIZE // 2,
+                           col_boundary_const=5.0, mask=mask)
+    dev = DestripeProblem(base.scas, base.neighbors, amp_cols=SIZE // 2,
+                          col_boundary_const=5.0, mask=mask, use_device=True)
+    p = rng.normal(scale=0.01, size=host.offsets[-1])
+    np.testing.assert_allclose(dev.cost(p), host.cost(p), rtol=1e-12)
+    g = dev.gradient(p)
+    for idx in [3, 57, SIZE + 1]:
+        h = 1e-6
+        dp = np.zeros_like(p)
+        dp[idx] = h
+        fd = (dev.cost(p + dp) - dev.cost(p - dp)) / (2 * h)
+        assert abs(fd - g[idx]) < 1e-4 * max(1.0, abs(fd)), (idx, fd, g[idx])
+
+
+def test_worker_pool_matches_serial():
+    """PYIMCOM_DESTRIPE_WORKERS fan-out returns identical cost/gradient
+    (reference pool fan-out, imdestripe.py:1288-1307)."""
+    rng = np.random.default_rng(25)
+    stripes = [rng.normal(scale=0.1, size=SIZE) for _ in range(3)]
+    serial = _make_problem(stripes)
+    pooled = DestripeProblem(serial.scas, serial.neighbors, workers=2,
+                             use_device=False)
+    p = rng.normal(scale=0.01, size=serial.offsets[-1])
+    try:
+        np.testing.assert_allclose(pooled.cost(p), serial.cost(p), rtol=1e-14)
+        np.testing.assert_allclose(pooled.gradient(p), serial.gradient(p),
+                                   rtol=1e-12, atol=1e-15)
+    finally:
+        pooled.close()
+
+
+def test_map_dtype_and_memmap(monkeypatch, tmp_path):
+    """f32 map storage + disk-backed memmaps (reference psi memmaps,
+    imdestripe.py:1627-1633) keep the gradient consistent with cost."""
+    monkeypatch.setenv("PYIMCOM_DESTRIPE_MAP_DTYPE", "f32")
+    monkeypatch.setenv("PYIMCOM_DESTRIPE_MEMMAP", "1")
+    rng = np.random.default_rng(26)
+    stripes = [rng.normal(scale=0.1, size=SIZE) for _ in range(3)]
+    prob = _make_problem(stripes)
+    xf, yf, _ = next(iter(prob._maps.values()))
+    assert isinstance(xf, np.memmap) and xf.dtype == np.float32
+    p = rng.normal(scale=0.01, size=prob.offsets[-1])
+    g = prob.gradient(p)
+    for idx in [3, 150]:
+        h = 1e-5
+        dp = np.zeros_like(p)
+        dp[idx] = h
+        fd = (prob.cost(p + dp) - prob.cost(p - dp)) / (2 * h)
+        assert abs(fd - g[idx]) < 1e-3 * max(1.0, abs(fd)), (idx, fd, g[idx])
