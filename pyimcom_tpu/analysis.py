@@ -562,10 +562,33 @@ class NoiseAnal:
         npix = ndimage.sum(np.ones_like(image), labels=rbin, index=ridx)
         return mean, std / np.sqrt(np.maximum(npix, 1))
 
-    def __call__(self, padding: bool = False):
-        """Measure ps2d ((L/8)^2 binned 2D spectrum) and ps1d
-        ((nradbins, 2): mean, err) of the configured layer
-        (reference analysis.py:745-808)."""
+    @staticmethod
+    def tukey_window(shape, alpha: float = 0.9):
+        """Separable 2D Tukey (tapered-cosine) window (the reference uses
+        skimage.filters.window(('tukey', alpha)),
+        noise_diagnostics.py:429-433)."""
+        from scipy.signal.windows import tukey
+
+        return np.outer(tukey(shape[0], alpha), tukey(shape[1], alpha))
+
+    @staticmethod
+    def get_wavenumbers(window_length: int, num_radial_bins: int):
+        """Azimuthally averaged |k| per radial bin, cycles/output px
+        (reference noise_diagnostics.py:445-469)."""
+        k = np.fft.fftshift(np.fft.fftfreq(window_length))
+        kx, ky = np.meshgrid(k, k)
+        kmean, _ = NoiseAnal.azimuthal_average(np.hypot(kx, ky),
+                                               num_radial_bins)
+        return kmean
+
+    def __call__(self, padding: bool = False, win: bool = False,
+                 alpha: float = 0.9, bin_flag: int = 1):
+        """Measure ps2d (8x8-binned 2D spectrum when bin_flag=1, unbinned
+        when 0) and ps1d ((nradbins, 2): mean, err) of the configured layer
+        (reference analysis.py:745-808); `win` applies a Tukey(`alpha`)
+        window before the FFT with the matching power-spectrum
+        renormalization (reference noise_diagnostics.py:399-443).  Also
+        sets `wavenumbers` (cycles/px at each radial bin)."""
         cfg = self.outimage.cfg
         L = cfg.NsideP
         indata = np.asarray(self.outimage.get_coadded_layer(self.layer),
@@ -580,17 +603,26 @@ class NoiseAnal:
         Lcut = L // 8 * 8
         norm = NoiseAnal.get_norm(self.layer, Lcut,
                                   Stn.RomanFilters[cfg.use_filter], s_out)
+        indata = indata[:Lcut, :Lcut]
+        if win:
+            w = NoiseAnal.tukey_window((Lcut, Lcut), alpha)
+            norm = norm * np.average(w ** 2)
+            indata = indata * w
         ps = np.empty((Lcut, Lcut), dtype=np.float64)
         rps = np.square(np.abs(np.fft.fftshift(
-            np.fft.rfft2(indata[:Lcut, :Lcut]), 0))) / norm
+            np.fft.rfft2(indata), 0))) / norm
         ps[:, Lcut // 2:] = rps[:, :-1]
         ps[1:, :Lcut // 2] = rps[Lcut - 1:0:-1, Lcut // 2:0:-1]
         ps[0, :Lcut // 2] = rps[0, Lcut // 2:0:-1]
-        self.ps2d = np.average(ps.reshape(Lcut // 8, 8, Lcut // 8, 8),
-                               axis=(1, 3))
-        nradbins = Lcut // 16
+        if bin_flag:
+            self.ps2d = np.average(ps.reshape(Lcut // 8, 8, Lcut // 8, 8),
+                                   axis=(1, 3))
+        else:
+            self.ps2d = ps
+        nradbins = (Lcut // 16) * (1 if bin_flag else 8)
         mean, err = NoiseAnal.azimuthal_average(self.ps2d, nradbins)
         self.ps1d = np.stack([mean, err], axis=-1)
+        self.wavenumbers = NoiseAnal.get_wavenumbers(Lcut, nradbins)
         return self
 
     def clear(self):

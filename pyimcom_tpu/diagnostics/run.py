@@ -13,11 +13,13 @@ from .sections import (DynamicRange, LayerReport, MosaicImage, RowStability,
 
 
 def run_report(fname, outstem, clear_all: bool = True,
-               star_layer: str = "cstar14", ds_dir: str = None) -> str:
+               star_layer: str = "cstar14", ds_dir: str = None,
+               ds_pattern: str = None) -> str:
     """Build the standard validation report; returns the PDF path.
 
     ds_dir : optional directory of destriped exposures for the
     row-stability section (reference diagnostics/noise/stability.py).
+    ds_pattern : optional filename regex for that section.
     """
     rpt = ValidationReport(fname, outstem, clear_all=clear_all)
     for cls in [MosaicImage, LayerReport, NoiseReport, DynamicRange,
@@ -28,7 +30,8 @@ def run_report(fname, outstem, clear_all: bool = True,
     s = SimulatedStar(rpt, layer=star_layer)
     s.build()
     rpt.addsections([s])
-    s = RowStability(rpt, directory=ds_dir)
+    kw = {"pattern": ds_pattern} if ds_pattern else {}
+    s = RowStability(rpt, directory=ds_dir, **kw)
     s.build()
     rpt.addsections([s])
     return rpt.compile()

@@ -129,56 +129,277 @@ class SimulatedStar(ReportSection):
 
 
 class NoiseReport(ReportSection):
-    """Power spectra of the coadded noise layers."""
+    """
+    Mosaic-wide noise power spectra (reference
+    diagnostics/noise_diagnostics.py:56-709).
+
+    For every block of the mosaic (up to `nblockmax` per side) this measures
+    the Tukey-windowed power spectrum of each injected noise layer over the
+    block's unique region, writes a per-block `*_ps.fits` (2D spectra +
+    CONFIG copy + P1D_TABLE with wavenumber calibration), averages them into
+    `*_ps_avg.fits`, renders the reference's 4-panel overview figure, and
+    records per-layer variances; the per-block files are finally bundled
+    into a `*_blockps*.tar` like the reference.
+
+    Parameters (reference NoiseReport.build kwargs)
+    ----------
+    nblockmax : max blocks per side to consume.
+    bin_flag : 1 = 8x8-bin the 2D spectra (auto-disabled for tiny blocks),
+        0 = unbinned.
+    alpha : Tukey window parameter; <=0 disables windowing.
+    tarfiles : bundle + remove the per-block spectra files.
+    """
+
+    #: effective collecting areas [cm^2] per Roman filter index
+    #: (reference noise_diagnostics.py:49-50)
+    AREA_ARRAY = [22085, 4840, 7340, 7111, 7006, 6635, 9011, 0, 0, 0, 4654]
+
+    def __init__(self, report, nblockmax=100, bin_flag=1, alpha=0.9,
+                 tarfiles=True):
+        super().__init__(report)
+        self.nblockmax = nblockmax
+        self.bin_flag = bin_flag
+        self.alpha = alpha
+        self.tarfiles = tarfiles
+
+    @staticmethod
+    def find_noise_layers(extrainput):
+        """{layer name: input-frame index} for every noise layer, insertion
+        order (reference noise_diagnostics.py:252-270)."""
+        import re
+
+        noiselayers = {}
+        for i, lay in enumerate(extrainput):
+            s = str(lay)
+            for pat in (r"^whitenoise(\d+)$", r"^1fnoise(\d+)$",
+                        r"^labnoise$", r"^noise,(\S+)$"):
+                m = re.match(pat, s)
+                if m:
+                    noiselayers[m[0]] = i
+        return noiselayers
+
+    def _block_spectra(self, oi, noiselayers, bin_flag, win):
+        """Per-layer (ps2d_all, ps1d_all) of one block, reference norm
+        ((L/s_out)^2; lab noise converted to uJy/arcsec^2 first,
+        noise_diagnostics.py:296-336)."""
+        from ..config import Settings as Stn
+
+        cfg = oi.cfg
+        L = self.L
+        bdpad = cfg.n2 * cfg.postage_pad
+        s_out = cfg.dtheta * 3600.0
+        s_in = Stn.pixscale_native * 648000.0 / np.pi
+        filter_ = Stn.RomanFilters[cfg.use_filter][0]
+        h_jy = 6.62607015e-27 * 1e29
+        tfr, gain = 3.08, 1.458
+        B0, B1, t_exp = 0.38, 4.65 if filter_ == "K" else 0.0, 139.8
+        area = self.AREA_ARRAY[cfg.use_filter]
+        whitenoisekey = next((k for k in noiselayers
+                              if k.startswith("whitenoise")), None)
+
+        NLK = list(noiselayers)
+        nl = len(NLK)
+        nb2 = 8 if bin_flag else 1
+        ps2d_all = np.zeros((nl, L // nb2, L // nb2))
+        nradbins = (L // 16) * (1 if bin_flag else 8)
+        ps1d_all = np.zeros((nl, nradbins, 4))
+        wavenumbers = NoiseAnal.get_wavenumbers(L, nradbins)
+        for i_layer, key in enumerate(NLK):
+            sl = noiselayers[key]
+            indata = np.asarray(oi.get_coadded_layer(sl), dtype=np.float64)[
+                bdpad:L + bdpad, bdpad:L + bdpad]
+            norm = (L / s_out) ** 2
+            if "lab" in key:
+                norm_LN = (s_in ** 2) * area * tfr / (h_jy * gain)
+                if filter_ == "K" and whitenoisekey is not None:
+                    wn = np.asarray(oi.get_coadded_layer(
+                        noiselayers[whitenoisekey]), dtype=np.float64)[
+                        bdpad:L + bdpad, bdpad:L + bdpad]
+                    indata = indata + wn * np.sqrt((B1 - B0) / t_exp) \
+                        * tfr / gain
+                indata = indata / norm_LN
+            if win:
+                w = NoiseAnal.tukey_window(indata.shape, self.alpha)
+                norm = norm * np.average(w ** 2)
+                indata = indata * w
+            ps = np.square(np.abs(np.fft.fftshift(
+                np.fft.fft2(indata)))) / norm
+            if bin_flag:
+                ps = np.average(ps.reshape(L // 8, 8, L // 8, 8),
+                                axis=(1, 3))
+            mean, err = NoiseAnal.azimuthal_average(ps, nradbins)
+            ps2d_all[i_layer] = ps
+            ps1d_all[i_layer, :, 0] = wavenumbers
+            ps1d_all[i_layer, :, 1] = mean
+            ps1d_all[i_layer, :, 2] = err
+            ps1d_all[i_layer, :, 3] = sl
+        return ps2d_all, ps1d_all
 
     def build(self):
+        import os
+
+        import matplotlib.colors as colors
         import matplotlib.pyplot as plt
 
-        oi = OutImage(self.report.fname)
-        fig, ax = plt.subplots(figsize=(6, 4))
-        text_lines = []
-        found = False
-        ps2d_figs = []
-        for il, spec in enumerate(oi.cfg.extrainput):
-            if spec is None or not ("noise" in spec.lower()):
-                continue
-            kc, pk = NoiseAnal(oi, layer=il).power_spectrum()
-            ax.loglog(kc[1:], pk[1:], label=spec)
-            text_lines.append(f"{spec} white-level {np.median(pk[len(pk)//2:]):.4e}")
-            found = True  # the basic spectrum is already on fig
-            # reference-style physically normalized 1D + binned 2D spectra
-            # (reference NoiseAnal.__call__, analysis.py:745-808)
-            na = NoiseAnal(oi, layer=spec)
-            try:
-                na()
-            except Exception:  # noqa: BLE001 -- layer-name conventions vary
-                continue
-            f2, a2 = plt.subplots(1, 2, figsize=(9, 4))
-            im = a2[0].imshow(np.log10(np.maximum(na.ps2d, 1e-30)),
-                              origin="lower", cmap="viridis")
-            a2[0].set_title(f"{spec}: log10 P2D (8x8 binned)")
-            f2.colorbar(im, ax=a2[0])
-            nb = len(na.ps1d)
-            a2[1].errorbar(np.arange(nb), na.ps1d[:, 0], yerr=na.ps1d[:, 1],
-                           fmt="o-", ms=3)
-            a2[1].set_xlabel("radial bin")
-            a2[1].set_ylabel("P(k) [physical norm]")
-            a2[1].set_title("azimuthal average")
-            f2.tight_layout()
-            ps2d_figs.append(f2)
-            text_lines.append(
-                f"{spec} ps1d " + " ".join(f"{v:.5e}" for v in na.ps1d[:, 0]))
-            na.clear()
-        if not found:
-            plt.close(fig)
+        from ..config import Settings as Stn
+        from ..fitsio import (HDUList, ImageHDU, TableHDU, fits_read,
+                              fits_write)
+
+        blocks = _blocks_of(self.report)
+        if not blocks:
             return
-        ax.set_xlabel("k [cycles/pixel]")
-        ax.set_ylabel("P(k)")
-        ax.legend()
-        ax.set_title("Coadded noise power spectra")
+        datastem = self.report.outstem + "_noise"
+        win = self.alpha > 0
+        bin_flag = self.bin_flag
+        self.psfiles = []
+        first = True
+        total_2d = total_1d = None
+        n_used = 0
+        for b in blocks:
+            oi = OutImage(b)
+            if max(oi.ibx, oi.iby) >= self.nblockmax:
+                continue
+            cfg = oi.cfg
+            if first:
+                first = False
+                noiselayers = self.find_noise_layers(cfg.extrainput)
+                if not noiselayers:
+                    return
+                self.NLK = list(noiselayers)
+                self.noiselayers = noiselayers
+                L = cfg.Nside
+                # snap to a multiple of 16 (8x8 binning + radial pairs);
+                # tiny blocks disable binning (reference :236-244)
+                if L >= 32:
+                    L = (L // 16) * 16
+                else:
+                    L = (L // 2) * 2
+                    bin_flag = 0
+                self.L = L
+                self.s_out = cfg.dtheta * 3600.0
+                filter_ = Stn.RomanFilters[cfg.use_filter][0]
+                configdata = np.asarray(
+                    fits_read(b)["CONFIG"].data["text"])
+            ps2d_all, ps1d_all = self._block_spectra(
+                oi, noiselayers, bin_flag, win)
+            n_used += 1
+            if total_2d is None:
+                total_2d = np.zeros_like(ps2d_all)
+                total_1d = np.zeros_like(ps1d_all)
+            total_2d += ps2d_all
+            total_1d += ps1d_all
+
+            blockid = f"{filter_}_{oi.ibx:02d}_{oi.iby:02d}"
+            if win:
+                blockid += f"_alpha_{self.alpha}"
+            if bin_flag == 0:
+                blockid += "_nobin"
+            self.suffix = blockid[len(filter_) + 6:]
+            hdu = ImageHDU(ps2d_all.astype(np.float32))
+            hdu.header["INSTEM"] = self.report.fname[:-11]
+            hdu.header["MEANCOVG"] = float(oi.get_mean_coverage())
+            hdu.header["NLAYERS"] = len(noiselayers)
+            for il, key in enumerate(self.NLK):
+                hdu.header[f"LAYER{il:02d}"] = key
+            hdu.header["AREAUNIT"] = "arcsec**2"
+            p1 = ps1d_all.reshape(-1, 4)
+            tab = TableHDU(data={
+                "Wavenumber": p1[:, 0].astype(np.float32),
+                "Power": p1[:, 1].astype(np.float32),
+                "Error": p1[:, 2].astype(np.float32),
+                "NoiseLayerID": p1[:, 3].astype(np.int16)},
+                name="P1D_TABLE")
+            cfgtab = TableHDU(data={"text": configdata}, name="CONFIG")
+            fname = f"{datastem}_{blockid}_ps.fits"
+            fits_write(fname, HDUList([hdu, cfgtab, tab]))
+            self.psfiles.append(fname)
+
+        if n_used == 0:
+            return
+        # ---- mosaic average (reference average_spectra, :562-633) --------
+        total_2d /= n_used
+        total_1d /= n_used
+        avg = ImageHDU(total_2d.astype(np.float32))
+        src = fits_read(self.psfiles[0])[0].header
+        for key in (["INSTEM", "NLAYERS"]
+                    + [f"LAYER{il:02d}" for il in range(len(self.NLK))]
+                    + ["AREAUNIT"]):
+            avg.header[key] = src[key]
+        p1 = total_1d.reshape(-1, 4)
+        tab = TableHDU(data={
+            "Wavenumber": p1[:, 0].astype(np.float32),
+            "Power": p1[:, 1].astype(np.float32),
+            "Error": p1[:, 2].astype(np.float32),
+            "NoiseLayerID": p1[:, 3].astype(np.int16)}, name="P1D_TABLE")
+        avgfile = f"{datastem}_{filter_}{self.suffix}_ps_avg.fits"
+        fits_write(avgfile, HDUList([avg, tab]))
+
+        # ---- overview figure (reference gen_overview_fig, :636-709) ------
+        outslab = [None] * 4
+        for il, key in enumerate(self.NLK):
+            if key.startswith("whitenoise"):
+                outslab[0] = il
+            if key.startswith("1fnoise"):
+                outslab[1] = il
+            if key.startswith("labnoise"):
+                outslab[2] = il
+            if key.startswith("noise,") and "b" in key:
+                outslab[3] = il
+        ntypes = ["white", "1/f", "lab", "simulated"]
+        vmax = [0.01, 0.3, 0.05, 5e-5]
+        um = 0.5 / self.s_out
+        fig = plt.figure(figsize=(9, 5.5))
+        for k in range(4):
+            if outslab[k] is None:
+                continue
+            ax = fig.add_subplot(2, 2, k + 1)
+            ax.set_title(f"Power spectrum: {ntypes[k]} noise")
+            ax.set_xlabel("u [cycles/arcsec]")
+            ax.set_ylabel("v [cycles/arcsec]")
+            data = total_2d[outslab[k]]
+            im = ax.imshow(data, cmap="gnuplot", aspect=1,
+                           interpolation="nearest", origin="lower",
+                           extent=(-um, um, -um, um),
+                           norm=colors.LogNorm(vmin=vmax[k] / 300.0,
+                                               vmax=vmax[k] * 1.0000001,
+                                               clip=True))
+            fig.colorbar(im, ax=ax, location="right")
+        fig.tight_layout()
         self.figures.append(fig)
-        self.figures.extend(ps2d_figs)
-        self.add_datablock("NOISEPOWER", "\n".join(text_lines))
+
+        # 1D spectra figure (all layers, wavenumber-calibrated)
+        f1, a1 = plt.subplots(figsize=(7, 4.5))
+        for il, key in enumerate(self.NLK):
+            a1.errorbar(total_1d[il, 1:, 0] / self.s_out,
+                        total_1d[il, 1:, 1], yerr=total_1d[il, 1:, 2],
+                        fmt="o-", ms=3, label=key)
+        a1.set_xlabel("k [cycles/arcsec]")
+        a1.set_ylabel("P(k)")
+        a1.set_yscale("log")
+        a1.legend(fontsize=7)
+        a1.set_title(f"Mosaic-average noise spectra ({n_used} blocks)")
+        self.figures.append(f1)
+
+        # ---- machine-readable variances (reference :127-135) -------------
+        lines = [f"nblocks {n_used}"]
+        for il, key in enumerate(self.NLK):
+            name = str(cfg.extrainput[self.noiselayers[key]])
+            lines.append(f"LAYER{il:02d} {name:24s} "
+                         f"{np.average(total_2d[il]) / self.s_out ** 2:11.5E}")
+            lines.append(f"{key} ps1d "
+                         + " ".join(f"{v:.5e}" for v in total_1d[il, :, 1]))
+        self.add_datablock("NOISEPOWER", "\n".join(lines))
+
+        # ---- tarball (reference :138-151) --------------------------------
+        if self.tarfiles and self.psfiles:
+            import tarfile
+
+            tarname = f"{datastem}_blockps{self.suffix}.tar"
+            with tarfile.open(tarname, "w") as tf:
+                for f in self.psfiles:
+                    tf.add(f, arcname=os.path.basename(f))
+            for f in self.psfiles:
+                os.remove(f)
 
 
 class DynamicRange(ReportSection):

@@ -1,0 +1,128 @@
+"""
+Mosaic-wide validation-report test: coadd all four blocks of a tiny 2x2
+mosaic with two injected noise layers, then build the full report and check
+the reference-style noise machinery (per-block spectra -> mosaic average ->
+overview + machine-readable variances; reference
+diagnostics/noise_diagnostics.py:82-151,562-633).
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from survey_fixture import build_survey
+
+from pyimcom_tpu.config import Config
+from pyimcom_tpu.coadd import Block
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def mosaic_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("diagmosaic")
+    cfg_dict = build_survey(
+        tmp, n_obs=6, extrainput=["whitenoise1", "1fnoise2"],
+        config_overrides={"NPIXPSF": 12, "INPAD": 0.25,
+                          "OUTSIZE": [2, 16, 0.04],
+                          "PAD": 1, "PADSIDES": "all"})
+    cfg_dict["STOP"] = 0
+    for sub in range(4):
+        Block(cfg=Config(cfg_dict), this_sub=sub)
+    return tmp, cfg_dict
+
+
+def test_noise_report_mosaic_average(mosaic_run):
+    from pyimcom_tpu.diagnostics.report import ValidationReport
+    from pyimcom_tpu.diagnostics.sections import NoiseReport
+    from pyimcom_tpu.fitsio import fits_read
+
+    tmp, cfg_dict = mosaic_run
+    fname = cfg_dict["OUT"] + "_00_00.fits"
+    outstem = str(tmp / "rep")
+    rpt = ValidationReport(fname, outstem)
+    sec = NoiseReport(rpt, tarfiles=False)
+    sec.build()
+    rpt.addsections([sec])
+    rpt.compile()
+
+    # all four blocks consumed
+    assert "nblocks 4" in sec.datablocks["NOISEPOWER"]
+    assert "LAYER00 whitenoise1" in sec.datablocks["NOISEPOWER"]
+    assert "LAYER01 1fnoise2" in sec.datablocks["NOISEPOWER"]
+
+    # per-block spectra + mosaic average on disk
+    assert len(sec.psfiles) == 4
+    avg = glob.glob(outstem + "_noise_*_ps_avg.fits")
+    assert len(avg) == 1
+    f = fits_read(avg[0])
+    ps2d = np.asarray(f[0].data, dtype=np.float64)
+    assert ps2d.shape[0] == 2 and ps2d.shape[1] == ps2d.shape[2]
+    assert int(f[0].header["NLAYERS"]) == 2
+    assert np.all(np.isfinite(ps2d)) and ps2d.max() > 0
+
+    # averaging is exact: avg == mean of the per-block 2D spectra
+    stack = np.stack([np.asarray(fits_read(p)[0].data, np.float64)
+                      for p in sec.psfiles])
+    np.testing.assert_allclose(ps2d, stack.mean(axis=0), rtol=1e-5)
+
+    # P1D table: wavenumbers increase within each layer, powers positive
+    tab = f["P1D_TABLE"]
+    k = np.asarray(tab["Wavenumber"], dtype=np.float64)
+    p = np.asarray(tab["Power"], dtype=np.float64)
+    lid = np.asarray(tab["NoiseLayerID"])
+    for layer in np.unique(lid):
+        kl = k[lid == layer]
+        assert np.all(np.diff(kl) > 0)
+    assert np.all(p >= 0) and p.max() > 0
+
+    # the machine-readable variance lines equal the average of the 2D
+    # spectrum (reference noise_diagnostics.py:127-135)
+    s_out = 0.04
+    for il, line in enumerate(
+            ln for ln in sec.datablocks["NOISEPOWER"].splitlines()
+            if ln.startswith("LAYER")):
+        var = float(line.split()[-1])
+        np.testing.assert_allclose(var, np.average(ps2d[il]) / s_out ** 2,
+                                   rtol=1e-5)
+
+    assert os.path.exists(outstem + "_report.pdf")
+
+
+def test_noise_report_tarball(mosaic_run):
+    from pyimcom_tpu.diagnostics.report import ValidationReport
+    from pyimcom_tpu.diagnostics.sections import NoiseReport
+
+    tmp, cfg_dict = mosaic_run
+    fname = cfg_dict["OUT"] + "_00_00.fits"
+    outstem = str(tmp / "rep_tar")
+    rpt = ValidationReport(fname, outstem)
+    sec = NoiseReport(rpt, tarfiles=True)
+    sec.build()
+    tars = glob.glob(outstem + "_noise_blockps*.tar")
+    assert len(tars) == 1
+    # per-block files were folded into the tar and removed
+    assert not any(os.path.exists(p) for p in sec.psfiles)
+    import tarfile
+
+    with tarfile.open(tars[0]) as tf:
+        assert len(tf.getnames()) == 4
+
+
+def test_full_report_all_sections(mosaic_run):
+    """run_report drives every section over the mosaic without error."""
+    from pyimcom_tpu.diagnostics.run import run_report
+
+    tmp, cfg_dict = mosaic_run
+    fname = cfg_dict["OUT"] + "_00_00.fits"
+    outstem = str(tmp / "rep_full")
+    pdf = run_report(fname, outstem)
+    assert os.path.exists(pdf)
+    data = outstem + "_data.txt"
+    assert os.path.exists(data)
+    from pyimcom_tpu.diagnostics.report import pull_from_file
+
+    blocks = pull_from_file(data)
+    assert "NOISEPOWER" in blocks
