@@ -245,18 +245,26 @@ DEG = np.pi / 180.0
 
 
 def _rot3d(angles_deg, axes_order):
-    """Composite rotation matrix for a rotate_sequence_3d node (the GWCS
-    native<->celestial rotation; angles applied right-to-left)."""
+    """Composite rotation matrix for a rotate_sequence_3d node.
+
+    astropy/gwcs semantics (astropy.modeling.rotations.RotationSequence3D
+    over astropy.coordinates rotation_matrix): each angle is a PASSIVE
+    (frame) right-handed rotation about its axis, applied to the vector in
+    the order listed.  Validated against the JWST/Roman ``v23tosky``
+    composition -- angles [v2, -v3, roll, dec, -ra] over 'zyxyz' must map
+    the reference point (v2, v3) to (ra, dec) with +v3 toward celestial
+    north at roll 0; only this convention satisfies that
+    (tests/test_asdfio.py::test_rotate_sequence_convention)."""
     R = np.eye(3)
     for ang, ax in zip(angles_deg, axes_order):
         c, s = np.cos(ang * DEG), np.sin(ang * DEG)
         if ax == "x":
-            M = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+            M = np.array([[1, 0, 0], [0, c, s], [0, -s, c]])
         elif ax == "y":
-            M = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            M = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
         else:
-            M = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
-        R = R @ M
+            M = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]])
+        R = M @ R
     return R
 
 

@@ -56,9 +56,10 @@ def _tan_gwcs(crpix, cd, crval):
             _tag("transform/compose-1.2.0", {"forward": [
                 _tag("transform/gnomonic-1.2.0", {"direction": "pix2sky"}),
                 _tag("transform/rotate_sequence_3d-1.0.0", {
-                    # native->celestial for lonpole=180 in the evaluator's
-                    # active right-handed convention: Rz(ra) Ry(90-dec)
-                    "angles": [crval[0], 90.0 - crval[1], 0.0],
+                    # native->celestial as astropy serializes it (passive
+                    # rotations applied in listed order):
+                    # [lonpole-180, dec-90, -ra] over zyz
+                    "angles": [0.0, crval[1] - 90.0, -crval[0]],
                     "axes_order": "zyz", "rotation_type": "spherical"}),
             ]}),
         ]}),
@@ -86,12 +87,44 @@ def test_transform_pieces():
 
 
 def test_rotate_sequence_3d():
+    # a single PASSIVE z rotation by -90 moves lon 0 -> +90
     rot = build_transform(_tag("transform/rotate_sequence_3d-1.0.0",
-                               {"angles": [90.0], "axes_order": "z",
+                               {"angles": [-90.0], "axes_order": "z",
                                 "rotation_type": "spherical"}))
     lon, lat = rot(np.array([0.0]), np.array([0.0]))
     np.testing.assert_allclose(lon[0], 90.0, atol=1e-12)
     np.testing.assert_allclose(lat[0], 0.0, atol=1e-12)
+
+
+def test_rotate_sequence_convention():
+    """Regression fixture for the astropy/gwcs rotate_sequence_3d
+    convention (VERDICT r2 item 8): the JWST/Roman ``v23tosky`` sequence --
+    angles [v2, -v3, roll, dec, -ra] over 'zyxyz', exactly as romancal
+    serializes it -- must map the reference point (v2, v3) to
+    (ra, dec), and at roll 0 a +v3 step must move toward celestial
+    north.  Only passive rotations applied in listed order satisfy both."""
+    v2r, v3r, rollr, decr, rar = 1.2, -0.7, 33.0, -40.0, 150.0
+    rot = build_transform(_tag("transform/rotate_sequence_3d-1.0.0", {
+        "angles": [v2r, -v3r, rollr, decr, -rar],
+        "axes_order": "zyxyz", "rotation_type": "spherical"}))
+    lon, lat = rot(np.array([v2r]), np.array([v3r]))
+    np.testing.assert_allclose(lon[0], rar, atol=1e-9)
+    np.testing.assert_allclose(lat[0], decr, atol=1e-9)
+
+    rot0 = build_transform(_tag("transform/rotate_sequence_3d-1.0.0", {
+        "angles": [v2r, -v3r, 0.0, decr, -rar],
+        "axes_order": "zyxyz", "rotation_type": "spherical"}))
+    lon1, lat1 = rot0(np.array([v2r]), np.array([v3r + 0.01]))
+    np.testing.assert_allclose(lat1[0] - decr, 0.01, rtol=1e-4)
+    np.testing.assert_allclose(lon1[0], rar, atol=1e-9)
+
+    # at roll 90 the same step moves along -RA (east-west) instead
+    rot90 = build_transform(_tag("transform/rotate_sequence_3d-1.0.0", {
+        "angles": [v2r, -v3r, 90.0, decr, -rar],
+        "axes_order": "zyxyz", "rotation_type": "spherical"}))
+    lon2, lat2 = rot90(np.array([v2r]), np.array([v3r + 0.01]))
+    np.testing.assert_allclose(lat2[0], decr, atol=1e-6)
+    assert abs(np.cos(np.deg2rad(decr)) * (lon2[0] - rar)) > 0.009
 
 
 def test_gwcs_tan_chain():
@@ -166,7 +199,7 @@ def test_inimage_asdf_integration(tmp_path):
                 _tag("transform/stereographic-1.2.0",
                      {"direction": "pix2sky"}),
                 _tag("transform/rotate_sequence_3d-1.0.0", {
-                    "angles": [crval[0], 90.0 - crval[1], 0.0],
+                    "angles": [0.0, crval[1] - 90.0, -crval[0]],
                     "axes_order": "zyz", "rotation_type": "spherical"}),
             ]}),
         ]}),
