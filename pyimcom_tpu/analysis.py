@@ -272,7 +272,163 @@ class OutImage:
                 my_maps[msl] * add_mode + ur_maps[usl], coef, dtype)
 
 
-class Mosaic:
+class _BlkGrp:
+    """
+    Shared analyses over a group of coadded blocks (reference _BlkGrp,
+    analysis.py:1087-1392): consumption map, coverage map, mosaic-wide
+    noise power spectra binned by coverage, and the star-moment catalog,
+    each persisted next to the output stem.  Subclasses supply
+    ``_block_items()`` -> [(index, OutImage)] and ``_map_shape``.
+    """
+
+    padding = False  # include postage-pad region in noise spectra?
+
+    def __call__(self, overwrite: bool = False):
+        """Run all analyses (reference _BlkGrp.__call__, analysis.py:1108)."""
+        self.get_consump_map(overwrite=overwrite)
+        self.get_coverage_map(overwrite=overwrite)
+        self.get_noise_power_spectra(overwrite=overwrite)
+        self.get_star_catalog(overwrite=overwrite)
+
+    def get_consump_map(self, overwrite: bool = False) -> np.ndarray:
+        """Per-block wall-time consumption parsed from the job logs,
+        cached as <stem>_Consump.npy (reference analysis.py:1128-1163)."""
+        import os
+
+        fname = self.stem + "_Consump.npy"
+        if not overwrite and os.path.exists(fname):
+            self.consump_map = np.load(fname)
+            return self.consump_map
+        self.consump_map = np.zeros(self._map_shape)
+        for idx, oi in self._block_items():
+            try:
+                self.consump_map[idx] = oi.get_time_consump()
+            except (FileNotFoundError, KeyError):
+                self.consump_map[idx] = np.nan
+        np.save(fname, self.consump_map)
+        return self.consump_map
+
+    def get_coverage_map(self, overwrite: bool = False) -> np.ndarray:
+        """Per-block mean-coverage map, cached as <stem>_Coverage.npy
+        (reference _BlkGrp.get_coverage_map, analysis.py:1165-1200)."""
+        import os
+
+        fname = self.stem + "_Coverage.npy"
+        if not overwrite and os.path.exists(fname):
+            self.coverage_map = np.load(fname)
+            return self.coverage_map
+        self.coverage_map = np.zeros(self._map_shape)
+        for idx, oi in self._block_items():
+            self.coverage_map[idx] = oi.get_mean_coverage()
+        np.save(fname, self.coverage_map)
+        return self.coverage_map
+
+    def get_noise_power_spectra(self, bins: int = 5,
+                                overwrite: bool = False):
+        """
+        Noise power spectra of every noise layer averaged over the whole
+        block group, with 1D spectra accumulated per mean-coverage bin
+        (reference _BlkGrp.get_noise_power_spectra, analysis.py:1202-1307).
+
+        Persists <stem>_NoisePS.npz with ps2d_all (n_noise, L//8, L//8),
+        ps1d_all (n_noise, bins, L//16, 2) and wavenumbers (cycles/arcsec).
+        """
+        import os
+
+        fname = self.stem + "_NoisePS.npz"
+        if not overwrite and os.path.exists(fname):
+            with np.load(fname) as f:
+                self.ps2d_all = f["ps2d_all"]
+                self.ps1d_all = f["ps1d_all"]
+                self.wavenumbers = f["wavenumbers"]
+            return self.ps2d_all, self.ps1d_all, self.wavenumbers
+
+        cfg = self.cfg
+        noiseinput = [lay for lay in (cfg.extrainput[1:] or [])
+                      if lay and "noise" in lay]
+        n_innoise = len(noiseinput)
+
+        cov = self.get_coverage_map()
+        mc_max = cov.max() + 1e-12
+        mc_min = cov.min() - 1e-12
+        coverage_idx = ((cov - mc_min) / (mc_max - mc_min)
+                        * bins).astype(np.uint8)
+        unique, counts = np.unique(coverage_idx, return_counts=True)
+
+        L = (cfg.NsideP if self.padding else cfg.Nside) // 8 * 8
+        self.ps2d_all = np.zeros((n_innoise, L // 8, L // 8))
+        self.ps1d_all = np.zeros((n_innoise, bins + 1, L // 16, 2))
+        self.wavenumbers = NoiseAnal.get_wavenumbers(L, L // 16)
+        # cycles/output px -> cycles/arcsec
+        self.wavenumbers = self.wavenumbers / (cfg.dtheta * 3600.0)
+
+        n_blk = 0
+        for idx, oi in self._block_items():
+            n_blk += 1
+            for inl, layer in enumerate(noiseinput):
+                na = NoiseAnal(oi, layer)
+                na(padding=self.padding)
+                self.ps2d_all[inl] += na.ps2d
+                self.ps1d_all[inl, coverage_idx[idx]] += na.ps1d
+                na.clear()
+            oi.unload()
+        if n_blk:
+            self.ps2d_all /= n_blk
+        for bi, count in zip(unique, counts):
+            self.ps1d_all[:, bi] /= count
+        self.ps1d_all = self.ps1d_all[:, :bins]
+        np.savez(fname, ps2d_all=self.ps2d_all, ps1d_all=self.ps1d_all,
+                 wavenumbers=self.wavenumbers)
+        return self.ps2d_all, self.ps1d_all, self.wavenumbers
+
+    def get_star_catalog(self, layer: str = "cstar14",
+                         overwrite: bool = False) -> dict:
+        """
+        Star-moment catalog over the block group, written to
+        <stem>_StarCat.fits (reference _BlkGrp.get_star_catalog,
+        analysis.py:1309-1371).
+        """
+        import os
+
+        from .fitsio import HDUList, ImageHDU, TableHDU, fits_read, fits_write
+
+        outfile = self.stem + "_StarCat.fits"
+        if not overwrite and os.path.exists(outfile):
+            t = fits_read(outfile)["STARCAT"]
+            self.star_cat = {k: np.asarray(t.data[k])
+                             for k in t.data.dtype.names}
+            return self.star_cat
+        cols = None
+        for idx, oi in self._block_items():
+            cat = StarsAnal(oi, layer=layer).catalog()
+            n = len(cat["ipix"])
+            iby, ibx = idx if isinstance(idx, tuple) else (0, idx)
+            cat["ibx"] = np.full(n, ibx, dtype=np.int32)
+            cat["iby"] = np.full(n, iby, dtype=np.int32)
+            if cols is None:
+                cols = {k: [v] for k, v in cat.items()}
+            else:
+                for k, v in cat.items():
+                    cols[k].append(v)
+            oi.unload()
+        data = {k: np.concatenate(v) for k, v in (cols or {}).items()}
+        data = {k: (v.astype(np.int16) if v.dtype == bool else v)
+                for k, v in data.items()}
+        t = TableHDU(data=data, name="STARCAT")
+        t.header["LAYER"] = layer[:60]
+        fits_write(outfile, HDUList([ImageHDU(None), t]))
+        self.star_cat = data
+        return data
+
+    def clear(self):
+        """Free analysis products (reference _BlkGrp.clear)."""
+        for attr in ("consump_map", "coverage_map", "ps2d_all", "ps1d_all",
+                     "wavenumbers", "star_cat"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
+
+class Mosaic(_BlkGrp):
     """
     A grid of OutImage blocks from one mosaic run.
 
@@ -281,6 +437,8 @@ class Mosaic:
     stem : output stem (files are <stem>_XX_YY.fits).
     nblock : blocks per side (read from the first block config if omitted).
     """
+
+    padding = False
 
     def __init__(self, stem, nblock=None, suffix=".fits"):
         self.stem = str(stem)
@@ -319,6 +477,15 @@ class Mosaic:
                 if iby < nb - 1:
                     me._update_hdu_data(self[ibx, iby + 1], "top")
 
+    @property
+    def _map_shape(self):
+        return (self.nblock, self.nblock)
+
+    def _block_items(self):
+        for iby in range(self.nblock):
+            for ibx in range(self.nblock):
+                yield (iby, ibx), self[ibx, iby]
+
     def mean_coverage_map(self):
         """(nblock, nblock) grid of per-block mean coverages."""
         out = np.zeros((self.nblock, self.nblock))
@@ -327,133 +494,49 @@ class Mosaic:
                 out[iby, ibx] = self[ibx, iby].get_mean_coverage()
         return out
 
-    def get_coverage_map(self, overwrite: bool = False) -> np.ndarray:
-        """Per-block mean-coverage map, cached as <stem>_Coverage.npy
-        (reference _BlkGrp.get_coverage_map, analysis.py:1165-1200)."""
-        import os
 
-        fname = self.stem + "_Coverage.npy"
-        if not overwrite and os.path.exists(fname):
-            self.coverage_map = np.load(fname)
-            return self.coverage_map
-        self.coverage_map = self.mean_coverage_map()
-        np.save(fname, self.coverage_map)
-        return self.coverage_map
-
-    def get_noise_power_spectra(self, layer="whitenoise1", blocks=None,
-                                overwrite: bool = False) -> np.ndarray:
-        """
-        Azimuthally averaged noise power spectra over a set of blocks,
-        cached as <stem>_NoisePS.npy (reference _BlkGrp.get_noise_power_
-        spectra, analysis.py:1202-1307).  Returns (nblocks, nradbins, 2).
-        """
-        import os
-
-        fname = self.stem + "_NoisePS.npy"
-        if not overwrite and os.path.exists(fname):
-            self.noise_ps = np.load(fname)
-            return self.noise_ps
-        if blocks is None:
-            blocks = [(ibx, iby) for ibx in range(self.nblock)
-                      for iby in range(self.nblock)]
-        specs = []
-        for (ibx, iby) in blocks:
-            na = NoiseAnal(self[ibx, iby], layer)
-            na()
-            specs.append(na.ps1d)
-            na.clear()
-        self.noise_ps = np.stack(specs)
-        np.save(fname, self.noise_ps)
-        return self.noise_ps
-
-    def get_star_catalog(self, layer: str = "cstar14", blocks=None,
-                         outfile: str = None) -> dict:
-        """
-        Star-moment catalog over a set of blocks, written to
-        <stem>_StarCat.fits (reference _BlkGrp.get_star_catalog,
-        analysis.py:1309-1371).
-        """
-        from .fitsio import HDUList, ImageHDU, TableHDU, fits_write
-
-        if blocks is None:
-            blocks = [(ibx, iby) for ibx in range(self.nblock)
-                      for iby in range(self.nblock)]
-        cols = None
-        for (ibx, iby) in blocks:
-            cat = StarsAnal(self[ibx, iby], layer=layer).catalog()
-            n = len(cat["ipix"])
-            cat["ibx"] = np.full(n, ibx, dtype=np.int32)
-            cat["iby"] = np.full(n, iby, dtype=np.int32)
-            if cols is None:
-                cols = {k: [v] for k, v in cat.items()}
-            else:
-                for k, v in cat.items():
-                    cols[k].append(v)
-        data = {k: np.concatenate(v) for k, v in (cols or {}).items()}
-        data = {k: (v.astype(np.int16) if v.dtype == bool else v)
-                for k, v in data.items()}
-        t = TableHDU(data=data, name="STARCAT")
-        t.header["LAYER"] = layer[:60]
-        fits_write(outfile or (self.stem + "_StarCat.fits"),
-                   HDUList([ImageHDU(None), t]))
-        return data
-
-    def get_consump_map(self, overwrite: bool = False) -> np.ndarray:
-        """
-        Per-block wall-time consumption map parsed from the job logs,
-        cached as <stem>_Consump.npy (reference Mosaic.get_consump_map,
-        analysis.py:1128-1163).
-        """
-        import os
-
-        fname = self.stem + "_Consump.npy"
-        if not overwrite and os.path.exists(fname):
-            self.consump_map = np.load(fname)
-            return self.consump_map
-        nb = self.nblock
-        self.consump_map = np.zeros((nb, nb))
-        for iby in range(nb):
-            for ibx in range(nb):
-                try:
-                    self.consump_map[iby, ibx] = self[ibx, iby].get_time_consump()
-                except (FileNotFoundError, KeyError):
-                    self.consump_map[iby, ibx] = np.nan
-        np.save(fname, self.consump_map)
-        return self.consump_map
-
-
-class Suite:
+class Suite(_BlkGrp):
     """
-    A set of mosaics (multiple bands / reruns) with prime-stride block
-    sampling for unbiased spot checks (reference analysis.py:1470-1506).
+    A prime-hashed subset of one mosaic's blocks (the Paper IV
+    hyperparameter-sweep pattern, where only nrun blocks of each
+    configuration are coadded; reference Suite, analysis.py:1470-1506).
+    Block ib lives at divmod(ib * prime % nblock^2, nblock).
     """
 
-    PRIME_STRIDE = 691
+    padding = True  # suite blocks are isolated; keep the pad region
 
-    def __init__(self, stems):
-        self.mosaics = [Mosaic(s) for s in stems]
+    def __init__(self, stem, prime: int = 691, nrun: int = 16,
+                 suffix: str = ".fits", nblock=None):
+        self.stem = str(stem)
+        self.suffix = suffix
+        self.prime = prime
+        self.nrun = nrun
+        self.images = {}
+        # suite member 0 always lives at (0, 0)
+        first = Config(self._path(0, 0), inmode="block")
+        self.cfg = first
+        self.nblock = nblock or first.nblock
 
-    def sample_blocks(self, n):
-        """Deterministic unbiased sample of n (ibx, iby) pairs."""
-        nb = self.mosaics[0].nblock
-        total = nb * nb
-        idx = (np.arange(n) * Suite.PRIME_STRIDE) % total
-        return [(int(i // nb), int(i % nb)) for i in idx]
+    def block_index(self, ib: int):
+        """(ibx, iby) of suite member ib (reference analysis.py:1502)."""
+        return divmod(ib * self.prime % self.nblock ** 2, self.nblock)
 
-    def get_consump_map(self, overwrite: bool = False) -> np.ndarray:
-        """Stacked per-mosaic consumption maps (reference Suite branch of
-        get_consump_map, analysis.py:1156-1160)."""
-        return np.stack([m.get_consump_map(overwrite) for m in self.mosaics])
+    def _path(self, ibx, iby):
+        return f"{self.stem}_{ibx:02d}_{iby:02d}{self.suffix}"
 
-    def mean_coverage(self) -> np.ndarray:
-        """Sampled mean coverage per mosaic (spot check over the prime-stride
-        block sample)."""
-        out = []
-        for m in self.mosaics:
-            vals = [m[b].get_mean_coverage()
-                    for b in self.sample_blocks(min(4, m.nblock ** 2))]
-            out.append(float(np.mean(vals)))
-        return np.asarray(out)
+    def __getitem__(self, ib: int):
+        if ib not in self.images:
+            ibx, iby = self.block_index(ib)
+            self.images[ib] = OutImage(self._path(ibx, iby), cfg=None)
+        return self.images[ib]
+
+    @property
+    def _map_shape(self):
+        return (self.nrun,)
+
+    def _block_items(self):
+        for ib in range(self.nrun):
+            yield ib, self[ib]
 
 
 class StarsAnal:

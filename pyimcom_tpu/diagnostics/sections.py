@@ -54,27 +54,51 @@ class MosaicImage(ReportSection):
 
 
 class LayerReport(ReportSection):
-    """Percentile statistics of every coadded layer."""
+    """
+    Mosaic-wide percentile statistics of every coadded layer (reference
+    diagnostics/layer_diagnostics.py:67-180): the unique (pad-trimmed) area
+    of every block is pooled and the reference's 13 percentiles --
+    0, 0.01, 0.1, 1, 5, 25, 50, 75, 95, 99, 99.9, 99.99, 100 -- are
+    measured per layer.
+    """
 
-    def build(self):
+    PCTILES = [0, 0.01, 0.1, 1, 5, 25, 50, 75, 95, 99, 99.9, 99.99, 100]
+
+    def build(self, nblockmax: int = 100):
         import matplotlib.pyplot as plt
 
-        oi = OutImage(self.report.fname)
-        nlayer = oi.cfg.n_inframe
+        blocks = _blocks_of(self.report)[:nblockmax ** 2]
+        oi0 = OutImage(self.report.fname)
+        cfg = oi0.cfg
+        nlayer = cfg.n_inframe
+        d = cfg.postage_pad * cfg.n2  # unique-area trim
+        chunks = [[] for _ in range(nlayer)]
+        for b in blocks:
+            oi = OutImage(b)
+            for il in range(nlayer):
+                img = np.asarray(oi.get_coadded_layer(il), np.float32)
+                if d > 0:
+                    img = img[d:-d, d:-d]
+                chunks[il].append(img.ravel())
+            oi.unload()
         rows = []
         for il in range(nlayer):
-            img = oi.get_coadded_layer(il)
-            pct = np.percentile(img, [1, 10, 50, 90, 99])
-            name = oi.cfg.extrainput[il] or "SCI"
+            pct = np.percentile(np.concatenate(chunks[il]), self.PCTILES)
+            chunks[il] = None
+            name = cfg.extrainput[il] or "SCI"
             rows.append((name, *pct))
-        fig, ax = plt.subplots(figsize=(8.5, 0.5 + 0.4 * nlayer))
+        fig, ax = plt.subplots(figsize=(10.5, 0.5 + 0.4 * nlayer))
         ax.axis("off")
-        tab = [["layer", "p1", "p10", "p50", "p90", "p99"]] + [
-            [r[0]] + [f"{v:.3e}" for v in r[1:]] for r in rows]
+        show = [1, 5, 25, 50, 75, 95, 99]  # table subset; datablock has all
+        tab = [["layer"] + [f"p{p:g}" for p in show]] + [
+            [r[0]] + [f"{r[1 + self.PCTILES.index(p)]:.3e}" for p in show]
+            for r in rows]
         ax.table(cellText=tab, loc="center")
-        ax.set_title("Layer percentiles")
+        ax.set_title(f"Layer percentiles ({len(blocks)} blocks, "
+                     "unique areas)")
         self.figures.append(fig)
-        text = "\n".join(" ".join(str(x) for x in r) for r in rows)
+        text = "PCTILES " + " ".join(f"{p:g}" for p in self.PCTILES) + "\n"
+        text += "\n".join(" ".join(str(x) for x in r) for r in rows)
         self.add_datablock("LAYERPERCENTILES", text)
 
 

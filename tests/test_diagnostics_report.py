@@ -126,3 +126,54 @@ def test_full_report_all_sections(mosaic_run):
 
     blocks = pull_from_file(data)
     assert "NOISEPOWER" in blocks
+
+
+def test_blkgrp_mosaic_and_suite(mosaic_run):
+    """Mosaic/Suite group analyses (reference _BlkGrp, analysis.py:1087-1392):
+    coverage + consumption maps, coverage-binned noise spectra npz with
+    calibrated wavenumbers, prime-hashed Suite indexing."""
+    from pyimcom_tpu.analysis import Mosaic, NoiseAnal, Suite
+
+    tmp, cfg_dict = mosaic_run
+    mos = Mosaic(cfg_dict["OUT"])
+    assert mos.nblock == 2
+
+    cov = mos.get_coverage_map()
+    assert cov.shape == (2, 2) and np.all(cov > 0)
+    cons = mos.get_consump_map()  # no job logs in the fixture -> NaN
+    assert cons.shape == (2, 2)
+
+    ps2d, ps1d, wn = mos.get_noise_power_spectra(bins=3)
+    L = mos.cfg.Nside // 8 * 8
+    assert ps2d.shape == (2, L // 8, L // 8)          # both noise layers
+    assert ps1d.shape == (2, 3, L // 16, 2)
+    assert np.all(np.isfinite(ps2d)) and ps2d.max() > 0
+    # wavenumbers calibrated to cycles/arcsec: the radial bins span up to
+    # the FFT-plane corner at sqrt(2) x Nyquist = sqrt(2)/(2 * 0.04")
+    nyq = 0.5 / 0.04
+    assert 0 < wn[0] < wn[-1] <= np.sqrt(2) * nyq * 1.01
+    assert wn[-1] > nyq * 0.7
+    # persisted and reloaded identically
+    assert os.path.exists(cfg_dict["OUT"] + "_NoisePS.npz")
+    mos2 = Mosaic(cfg_dict["OUT"])
+    p2, p1, w2 = mos2.get_noise_power_spectra()
+    np.testing.assert_allclose(p2, ps2d)
+    # the mosaic average equals the mean of per-block NoiseAnal spectra
+    ref = np.zeros_like(ps2d[0])
+    for (iby, ibx), _ in mos._block_items():
+        na = NoiseAnal(mos[ibx, iby], "whitenoise1")
+        na(padding=False)
+        ref += na.ps2d / 4
+    np.testing.assert_allclose(ps2d[0], ref, rtol=1e-12)
+
+    # Suite: prime-hashed members cover all four blocks exactly once
+    suite = Suite(cfg_dict["OUT"], nrun=4)
+    idx = {suite.block_index(ib) for ib in range(4)}
+    assert idx == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    scov = suite.get_coverage_map(overwrite=True)
+    assert scov.shape == (4,)
+    np.testing.assert_allclose(sorted(scov), sorted(cov.ravel()))
+    s2d, s1d, swn = suite.get_noise_power_spectra(overwrite=True)
+    LP = suite.cfg.NsideP // 8 * 8   # suites keep the padding region
+    assert s2d.shape == (2, LP // 8, LP // 8)
+    assert np.all(np.isfinite(s2d)) and s2d.max() > 0
