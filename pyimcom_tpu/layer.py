@@ -618,8 +618,12 @@ def _build_extra_layer(spec: str, inimage) -> np.ndarray | None:
                     return psfmodels.smooth_and_pad_batch(
                         psfs, tophatwidth=cfg.inpsf_oversamp)
             else:
-                print(f"gsextchrom: chromatic PSF {fname} missing; using the "
-                      "run PSF", flush=True)
+                # a missing chromatic PSF cube is a config mistake: the
+                # reference opens the file unconditionally and raises
+                # (reference layer.py:1446-1456 via GalSimInject.get_psf)
+                raise FileNotFoundError(
+                    f"gsextchrom: chromatic PSF cube {fname} not found "
+                    f"(layer spec {spec!r})")
         args = parse_gsext_args(raw)
         return make_extobj_image_from_grid(res, inimage, nside, cfg.inpsf_oversamp,
                                            args, psf_source=psf_source

@@ -110,3 +110,26 @@ def test_field_dependent_star_flux():
                                 4088, 6, flux_fn=lambda xs, ys: 2.0 * np.ones(len(xs)))
     assert img1.sum() > 0
     np.testing.assert_allclose(img2, 2.0 * img1, rtol=0, atol=1e-10)
+
+
+def test_gsextchrom_missing_cube_raises(tmp_path):
+    """A missing chromatic PSF cube is a config mistake and must raise
+    (the reference opens the file unconditionally, layer.py:1446-1456)."""
+    import pytest
+
+    from pyimcom_tpu.layer import _build_extra_layer
+
+    class _Cfg:
+        inpsf_oversamp = 6
+
+    class _Blk:
+        cfg = _Cfg()
+        obsdata = None
+
+    class _Img:
+        blk = _Blk()
+        idsca = (0, 1)
+        inwcs = None
+
+    with pytest.raises(FileNotFoundError, match="chromatic PSF cube"):
+        _build_extra_layer(f"gsextchrom14,{tmp_path}/nope,n=1.0", _Img())
