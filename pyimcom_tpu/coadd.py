@@ -1184,8 +1184,12 @@ class Block:
             sub = self._dev_submat.get(key)
             if sub is not None and devid in sub:
                 continue                  # resident on this device
-            if key in self._submat_computed and sub is None:
+            if key in self._submat_computed and sub is None \
+                    and self._submat_ref.get(key, 0) <= 0:
                 continue                  # fully consumed earlier
+            # key in _submat_computed with refs left = the pool holding it
+            # was evicted under the HBM budget (or lives on another device
+            # in the banded path): recompute it through the seam machinery
             seam = key in self._submat_computed
             ji1, ji2 = key
             gp1, gp2 = group_of(ji1), group_of(ji2)
@@ -1297,9 +1301,11 @@ class Block:
             xt_d = put(np.pad(np.asarray(xt, np.float64), (0, Lp - L)))
             yt_d = put(np.pad(np.asarray(yt, np.float64), (0, Lp - L)))
 
+            self._pool_round = getattr(self, "_pool_round", 0) + 1
             pool_holder = {"arr": assemble.zeros_on(max(pool_size, 1), dt,
                                                     device),
-                           "device": device}
+                           "device": device,
+                           "round": self._pool_round}
             Bflat = assemble.zeros_on(max(len(infos) * nBflat, 1), dt, device)
             for bidx, bucket in enumerate(_psfgrp._DENSE_BUCKETS):
                 sel = np.flatnonzero(p_bidx == bidx)
@@ -1514,7 +1520,50 @@ class Block:
                         host["Neff"][s_idx].reshape(n_out, n2f, n2f),
                         host["Tsum_stamp"][s_idx])
                     self._consume_refs(info["ji_in_s"])
+        self._maybe_evict_pools()
         self._maybe_ckpt()
+
+    # HBM budget for retained submatrix pools.  A production block retains
+    # every group's pool for a whole row sweep (the next stamp row reuses
+    # the cross-row submatrices), which at 2560^2-block geometry is tens of
+    # GiB -- far over a single chip's HBM, forcing the runtime into
+    # host-paging thrash.  Beyond the budget, the OLDEST pools are dropped
+    # and their still-referenced submatrices recompute on next use through
+    # the band-seam machinery (the sweep is compute-cheap next to paging).
+    # The reference's analogous pressure valve is the A-submatrix disk
+    # spill (reference psfutil.py:2056-2085).
+    POOL_BUDGET_GB = 6.0
+
+    def _maybe_evict_pools(self):
+        budget = float(os.environ.get("PYIMCOM_POOL_BUDGET_GB",
+                                      str(self.POOL_BUDGET_GB))) * 2 ** 30
+        holders = {}   # id -> [bytes, round, [(key, devid)]]
+        for key, sub in self._dev_submat.items():
+            for devid, rec in sub.items():
+                h = rec["holder"]
+                ent = holders.get(id(h))
+                if ent is None:
+                    arr = h.get("arr")
+                    nb = 0 if arr is None else arr.size * arr.dtype.itemsize
+                    ent = holders[id(h)] = [nb, h.get("round", 0), []]
+                ent[2].append((key, devid))
+        total = sum(e[0] for e in holders.values())
+        if total <= budget:
+            return
+        cur = max((e[1] for e in holders.values()), default=0)
+        for ent in sorted(holders.values(), key=lambda e: e[1]):
+            if total <= budget or ent[1] >= cur:
+                break   # never evict the newest round's pools
+            for key, devid in ent[2]:
+                sub = self._dev_submat.get(key)
+                if sub is not None:
+                    sub.pop(devid, None)
+                    if not sub:
+                        self._dev_submat.pop(key, None)
+            total -= ent[0]
+            print(f"pool budget: evicted round-{ent[1]} pool "
+                  f"({ent[0] / 2**30:.2f} GiB, {len(ent[2])} submats); "
+                  f"retained {total / 2**30:.2f} GiB", flush=True)
 
     def _enqueue_submat_rows(self, calls, rec, sel_off, s_idx, dstA_base,
                              sym, device=None):
@@ -1724,6 +1773,33 @@ class Block:
         self._ckpt_t_last = time.time()
         print(f"checkpoint: saved {int(arrs['groups_done'])} groups "
               f"-> {p}", flush=True)
+        self._print_hbm()
+
+    def _print_hbm(self):
+        """Device memory telemetry (when the platform exposes it): live
+        bytes and peak, plus the host-side count of retained device pools."""
+        try:
+            import jax
+
+            for d in jax.local_devices():
+                ms = d.memory_stats() or {}
+                used = ms.get("bytes_in_use")
+                peak = ms.get("peak_bytes_in_use")
+                if used is None:
+                    continue
+                holders = {}
+                for sub in self._dev_submat.values():
+                    for rec in sub.values():
+                        arr = rec["holder"].get("arr")
+                        if arr is not None:
+                            holders[id(rec["holder"])] = arr.size * arr.dtype.itemsize
+                print(f"hbm[{d.id}]: in_use {used / 2**30:.2f} GiB, "
+                      f"peak {0 if peak is None else peak / 2**30:.2f} GiB, "
+                      f"retained pools {len(holders)} "
+                      f"({sum(holders.values()) / 2**30:.2f} GiB), "
+                      f"submat keys {len(self._dev_submat)}", flush=True)
+        except Exception:  # noqa: BLE001 - telemetry only
+            pass
 
     def _coadd_groups_banded(self, groups, devices, push):
         """

@@ -242,3 +242,22 @@ def test_solve_finalize_iterative_matches_kernel():
     Tsum_image = np.einsum("omn,ni->omi", Tf, onehot)
     np.testing.assert_allclose(np.asarray(out["Tsum_stamp"]),
                                Tsum_image.sum(1) / 25, rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_pool_budget_eviction_matches_unbudgeted(small_survey, monkeypatch,
+                                                 capfd):
+    """Retained submatrix pools beyond PYIMCOM_POOL_BUDGET_GB are evicted
+    (oldest first) and recomputed on later use through the seam machinery;
+    the block output is unchanged.  STOP=0 runs every group, so the
+    cross-row pool reuse that the budget interrupts is exercised."""
+    tmp, cfg_dict = small_survey
+    out_ref = _run(cfg_dict, "_nobudget", 0, monkeypatch, device=True,
+                   n_devices=1)
+    capfd.readouterr()
+    monkeypatch.setenv("PYIMCOM_POOL_BUDGET_GB", "1e-9")  # evict everything
+    out_ev = _run(cfg_dict, "_budget", 0, monkeypatch, device=True,
+                  n_devices=1)
+    monkeypatch.delenv("PYIMCOM_POOL_BUDGET_GB")
+    assert "pool budget: evicted" in capfd.readouterr().out
+    _compare_outputs(out_ref, out_ev, atol_sci=1e-12)
