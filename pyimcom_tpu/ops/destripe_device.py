@@ -132,16 +132,23 @@ class DeviceDestripe:
         self._cost_model = cost_model
         self._hub = float(hub)
         self._cbc = float(col_boundary_const)
+        # the big arrays enter the compiled program as OPERANDS, not
+        # closure constants (closure capture bakes the survey's images into
+        # the executable: multi-GiB programs that cannot even be cached)
+        self._data = dict(imgs=self._imgs, ge=self._ge, mask=self._mask,
+                          pi=self._pi, pj=self._pj, xf=self._xf, yf=self._yf)
+        if getattr(self, "_bmask", None) is not None:
+            self._data["bmask"] = self._bmask
         self._vg = jax.jit(jax.value_and_grad(self._cost))
         self._c = jax.jit(self._cost)
 
     # ---- the differentiable cost ---------------------------------------
-    def _cost(self, params):
+    def _cost(self, params, data):
         S, ny, nx = self.S, self.ny, self.nx
         ps = params.reshape(S, self.np_each)
         stripes = jax.vmap(
             lambda p: _stripe_forward(p, ny, nx, self.amp_cols))(ps)
-        imgs = self._imgs - stripes
+        imgs = data["imgs"] - stripes
 
         acc0 = jnp.zeros((S, ny * nx), imgs.dtype)
         cnt0 = jnp.zeros((S, ny * nx), imgs.dtype)
@@ -151,24 +158,25 @@ class DeviceDestripe:
             acc, cnt = carry
             pi, pj, xf, yf = inp
             img_j = jnp.take(imgs, pj, axis=0)
-            ge_j = jnp.take(self._ge, pj, axis=0)
+            ge_j = jnp.take(data["ge"], pj, axis=0)
             interp, inb = _gather_weighted(img_j, ge_j, xf, yf)
             acc = acc.at[pi].add(interp)
             cnt = cnt.at[pi].add(inb.astype(cnt.dtype))
             return (acc, cnt), None
 
         (acc, cnt), _ = jax.lax.scan(
-            step, (acc0, cnt0), (self._pi, self._pj, self._xf, self._yf))
+            step, (acc0, cnt0),
+            (data["pi"], data["pj"], data["xf"], data["yf"]))
         acc = acc.reshape(S, ny, nx)
         cnt = cnt.reshape(S, ny, nx)
         valid = cnt > 0
         J = acc / jnp.where(valid, cnt, 1.0)
-        r = jnp.where(valid & self._mask, imgs - J, 0.0)
+        r = jnp.where(valid & data["mask"], imgs - J, 0.0)
         eps = jnp.sum(_penalty(r, self._cost_model, self._hub))
 
         for (i, c0, c1, lo, mid, hi, nl, nr) in self._bchunks:
-            lm = self._bmask[i, c0:c1, lo:mid]
-            rm = self._bmask[i, c0:c1, mid:hi]
+            lm = data["bmask"][i, c0:c1, lo:mid]
+            rm = data["bmask"][i, c0:c1, mid:hi]
             lmean = jnp.sum(jnp.where(lm, imgs[i, c0:c1, lo:mid], 0.0)) / nl
             rmean = jnp.sum(jnp.where(rm, imgs[i, c0:c1, mid:hi], 0.0)) / nr
             eps = eps + self._cbc * (lmean - rmean) ** 2
@@ -176,8 +184,8 @@ class DeviceDestripe:
 
     # ---- public API ------------------------------------------------------
     def cost(self, params) -> float:
-        return float(self._c(jnp.asarray(params)))
+        return float(self._c(jnp.asarray(params), self._data))
 
     def cost_and_grad(self, params):
-        v, g = self._vg(jnp.asarray(params))
+        v, g = self._vg(jnp.asarray(params), self._data)
         return float(v), np.asarray(g)
