@@ -62,6 +62,58 @@ def launch(env):
     return p, f
 
 
+def write_partial(ckpt, n_restarts):
+    """
+    Record partial progress when the run is paused by max-hours: groups
+    drained so far (from the resumable checkpoint) plus a warm s/stamp
+    measured from the child log's recent "postage stamp" timestamps, so
+    an interrupted production block still yields a durable, honest
+    extrapolation in PRODUCTION_r03.json.
+    """
+    import re
+
+    if not ckpt.exists():
+        return
+    import numpy as np
+
+    z = np.load(ckpt)
+    done, total = int(z["groups_done"]), int(z["n_groups"])
+    stamps_per_group = int(z["nrun"]) // max(total, 1)
+
+    # warm rate: median wall-clock gap between consecutive stamp-group
+    # prints over the final restart segment (child-relative clocks reset
+    # at each restart, so only use monotone tail times)
+    times = [float(m.group(1)) for m in re.finditer(
+        r"postage stamp\s+\d+,\s*\d+\s+t=\s*([0-9.]+) s",
+        LOG.read_text(errors="replace"))]
+    tail, prev = [], None
+    for t in times:
+        if prev is not None and t < prev:
+            tail = []
+        if prev is None or t > prev:
+            tail.append(t)
+        prev = t
+    gaps = sorted(b - a for a, b in zip(tail, tail[1:]) if b > a)
+    s_per_group = gaps[len(gaps) // 2] if gaps else float("nan")
+    s_per_stamp = s_per_group / max(stamps_per_group, 1)
+    result = {
+        "metric": "production_block_progress",
+        "partial": True,
+        "groups_done": done,
+        "n_groups": total,
+        "pct_done": round(100.0 * done / max(total, 1), 2),
+        "warm_s_per_stamp": round(s_per_stamp, 2),
+        "extrapolated_block_hours": round(
+            s_per_group * total / 3600.0, 2) if gaps else None,
+        "restarts": n_restarts,
+        "checkpoint": str(ckpt),
+        "unit": ("2560^2-px production block (6400 stamps) on one chip; "
+                 "resumable from checkpoint"),
+    }
+    (REPO / "PRODUCTION_r03.json").write_text(json.dumps(result) + "\n")
+    print(json.dumps(result), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stall-sec", type=int, default=1200,
@@ -107,6 +159,7 @@ def main():
                           "for a later resume", flush=True)
                     os.killpg(p.pid, signal.SIGKILL)
                     p.wait()
+                    write_partial(ckpt, n_restarts)
                     return 2
         finally:
             f.close()
