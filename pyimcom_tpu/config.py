@@ -522,6 +522,36 @@ def build_config_interactive(input_fn=input, output=print, outfile=None):
     return cfg
 
 
+#: matplotlib rc parameters for report figures; use as
+#: ``with mpl.rc_context(config.format_axis_pars):``
+#: (reference config.py:1236-1249)
+format_axis_pars = {
+    "font.family": "serif",
+    "mathtext.fontset": "dejavuserif",
+    "font.size": 12,
+    "text.latex.preamble": r"\usepackage{amsmath}",
+    "xtick.major.pad": 2,
+    "ytick.major.pad": 2,
+    "xtick.major.size": 6,
+    "ytick.major.size": 6,
+    "xtick.minor.size": 3,
+    "ytick.minor.size": 3,
+    "axes.linewidth": 2,
+    "axes.labelpad": 1,
+}
+
+
+def format_axis(ax, grid_on=True):
+    """House style for one figure panel (reference config.py:1252-1275)."""
+    ax.minorticks_on()
+    if grid_on:
+        ax.grid(visible=True, which="major", linestyle=":")
+    ax.tick_params(axis="both", which="both", direction="out")
+    ax.xaxis.set_ticks_position("both")
+    ax.yaxis.set_ticks_position("both")
+    ax.patch.set_alpha(0.0)
+
+
 if __name__ == "__main__":
     # python -m pyimcom_tpu.config [outfile.json]
     import sys as _sys

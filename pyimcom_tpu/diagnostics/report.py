@@ -84,8 +84,15 @@ class ValidationReport:
                      ha="center", fontsize=11)
             pdf.savefig(fig)
             plt.close(fig)
+            from ..config import format_axis
+
             for s in self.sections:
                 for f in s.figures:
+                    for ax in f.get_axes():
+                        # house style (reference config.py:1252-1275); image
+                        # panels keep their own tick/grid choices
+                        if not ax.get_images():
+                            format_axis(ax)
                     pdf.savefig(f)
                     plt.close(f)
 

@@ -748,7 +748,39 @@ def get_all_data(inimage, timeout: float = 300.0) -> None:
             with lock.acquire(timeout=timeout):
                 print("saving input layer >>", cache_path)
                 os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-                fits_write(cache_path, HDUList([ImageHDU(indata)]))
+                hdus = [ImageHDU(indata)]
+                sciwcs = _sciwcs_hdu(inimage, filename)
+                if sciwcs is not None:
+                    hdus.append(sciwcs)
+                fits_write(cache_path, HDUList(hdus))
         except Timeout:
             pass
     sys.stdout.flush()
+
+
+def _sciwcs_hdu(inimage, src_file):
+    """
+    SCIWCS HDU recording the science WCS of a cached layer cube, so
+    downstream stages (wing subtraction) can map pixels without the
+    original exposure (reference layer.py:1500-1529).  FITS-style WCS
+    objects serialize their header cards (WCSTYPE='FITS'); GWCS records
+    the source ASDF path (WCSTYPE='GWCS', WCSSRC) for re-reading, in
+    place of the reference's ancillary ``*_wcs.asdf`` copy.
+    """
+    from .fitsio import Header
+
+    inwcs = getattr(inimage, "inwcs", None)
+    if inwcs is None:
+        return None
+    if hasattr(inwcs, "to_header"):
+        hdu = ImageHDU(np.zeros((1, 1), dtype=np.uint8),
+                       header=Header(inwcs.to_header()), name="SCIWCS")
+        hdu.header["WCSTYPE"] = "FITS"
+        return hdu
+    src = getattr(inimage, "infile", None) or src_file
+    if not src:
+        return None
+    hdu = ImageHDU(np.zeros((1, 1), dtype=np.uint8), name="SCIWCS")
+    hdu.header["WCSTYPE"] = "GWCS"
+    hdu.header["WCSSRC"] = str(src)
+    return hdu

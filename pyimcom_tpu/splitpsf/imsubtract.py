@@ -338,7 +338,7 @@ def run_imsubtract(cfg, idsca, split_file: str, out_file: str = None,
     cube = np.asarray(f[0].data, dtype=np.float32)
     if cube.ndim == 2:
         cube = cube[None]
-    wcs_ = WCS.from_header(f[0].header)
+    wcs_ = get_cache_wcs(f)
 
     sf = fits_read(split_file)
     kerskip = int(sf[0].header.get("KERSKIP", (len(sf) - 1) // 2))
@@ -362,8 +362,35 @@ def run_imsubtract(cfg, idsca, split_file: str, out_file: str = None,
         out_file = cfg.inlayercache + f"_{obsid:08d}_{sca:02d}_subI.fits"
     hdu = ImageHDU(out.astype(np.float32))
     hdu.header = f[0].header
-    fits_write(out_file, HDUList([hdu]))
+    # carry the SCIWCS HDU forward so update_cube's swap keeps the cache
+    # self-describing for the next wing-subtraction iteration
+    extra = [h for h in list(f)[1:] if h.name == "SCIWCS"]
+    fits_write(out_file, HDUList([hdu] + extra))
     return out_file
+
+
+def get_cache_wcs(hdus):
+    """
+    WCS of a cached input-layer file (reference imsubtract.py:190-216
+    ``get_wcs``): prefer the SCIWCS HDU written by the layer stage —
+    FITS-style cards, or a WCSSRC pointer back to the exposure's ASDF
+    file for GWCS — falling back to the primary header for legacy caches.
+    """
+    from ..wcsutil import WCS
+
+    try:
+        sw = hdus["SCIWCS"]
+    except KeyError:
+        sw = None
+    if sw is not None:
+        wcstype = str(sw.header.get("WCSTYPE", "FITS")).strip().upper()
+        if wcstype.startswith("GWCS"):
+            from ..asdfio import GWCS, asdf_read
+
+            tree = asdf_read(str(sw.header["WCSSRC"]).strip())
+            return GWCS(tree["roman"]["meta"]["wcs"])
+        return WCS.from_header(sw.header)
+    return WCS.from_header(hdus[0].header)
 
 
 def run_imsubtract_all(cfg, idscas, split_file: str, nworkers: int = None,
