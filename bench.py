@@ -231,14 +231,23 @@ def main():
         vs_baseline = (3600.0 / (dt * 16.0 / nrun)) / cpu_bph
 
     blocks_per_hour = 3600.0 / (dt * 16.0 / nrun)
-    print(json.dumps({
+    result = {
         "metric": "blocks/hour",
         "value": round(blocks_per_hour, 3),
         "unit": f"synthetic 100px blocks/hour on {platform} "
                 f"({nrun}/16 stamps, SL1={SL1:.5f}, U/C med={uc_med:.1e}; "
                 f"cpu baseline {cpu_bph:.2f} b/h, {cpu_note})" + note,
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }
+    # attach the production-geometry evidence when a
+    # scripts/run_production_block.py run has recorded it
+    prod = pathlib.Path(__file__).parent / "PRODUCTION_r03.json"
+    if prod.exists():
+        try:
+            result["production"] = json.loads(prod.read_text())
+        except (OSError, json.JSONDecodeError):
+            pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

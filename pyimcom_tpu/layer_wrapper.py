@@ -69,6 +69,18 @@ def build_all_layers(cfg, idscas=None, nworkers: int = None) -> list:
 
     results = []
     failures = []
+    if nworkers <= 1 or (os.cpu_count() or 1) == 1:
+        # single worker (or single-core host): the pool buys nothing and
+        # forkserver startup can wedge under load -- run in-process
+        for idsca in idscas:
+            res = build_one_layer(cfg_dict, idsca)
+            results.append(res)
+            if str(res[1]).startswith("error"):
+                failures.append(res)
+        if failures:
+            raise RuntimeError(
+                f"{len(failures)} layer builds failed: {failures[:3]}")
+        return results
     ctx = multiprocessing.get_context("forkserver")
     with concurrent.futures.ProcessPoolExecutor(max_workers=nworkers,
                                                 mp_context=ctx) as pool:
