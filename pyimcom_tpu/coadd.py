@@ -64,6 +64,40 @@ def _scan_pad(n: int) -> int:
     return n
 
 
+class _ShapeRungs:
+    """
+    Sticky per-run shape quantizer: reuse previously compiled sizes.
+
+    The fused group programs take several operands whose natural sizes
+    differ slightly for every 2x2 stamp group (submatrix-pool length,
+    selection-map length, overlap-stack rows, solve padding).  Compiling
+    one XLA program per unique size made full production blocks
+    compile-bound: ~2-3 fresh compiles/minute for hours (each 30-90 s
+    over the TPU relay), 235 s/group steady state vs 26 s/group warm.
+
+    `fit(kind, n)` returns the smallest size already used for `kind` that
+    fits `n`; only when none fits does it mint a new rung, with ~8%
+    headroom so near-miss growth doesn't mint again.  Distinct compiled
+    shapes per kind are O(log_1.08(max/min)) instead of O(#groups).
+    Padding is numerically neutral everywhere these sizes are used
+    (identity solve padding, never-read pool/selmap/stack tails).
+    """
+
+    def __init__(self, headroom: float = 1.08):
+        self.headroom = headroom
+        self.used: dict[str, list[int]] = {}
+
+    def fit(self, kind: str, n: int, quantum: int = 128) -> int:
+        used = self.used.setdefault(kind, [])
+        for v in used:           # ascending: smallest fitting rung wins
+            if v >= n:
+                return v
+        v = int(np.ceil(max(n, 1) * self.headroom / quantum) * quantum)
+        used.append(v)
+        used.sort()
+        return v
+
+
 class _SubmatStore:
     """
     System-submatrix cache with optional disk spill.
@@ -1020,6 +1054,13 @@ class Block:
 
     CHUNK = 16384       # scatter chunk length (static bucket)
 
+    @property
+    def _rungs(self) -> _ShapeRungs:
+        r = getattr(self, "_shape_rungs", None)
+        if r is None:
+            r = self._shape_rungs = _ShapeRungs()
+        return r
+
     def _stamp_devices(self):
         """Devices over which postage-stamp groups are scattered."""
         import jax
@@ -1111,8 +1152,8 @@ class Block:
             return [(infos, None, 0, zeros)] if zeros else []
 
         if n_pad is None:
-            n_pad = max(SOLVE_BUCKET, int(np.ceil(
-                max(i[2]["n"] for i in infos) / SOLVE_BUCKET) * SOLVE_BUCKET))
+            n_pad = self._rungs.fit("n_pad", max(i[2]["n"] for i in infos),
+                                    SOLVE_BUCKET)
 
         # ---- coordinate tables: union full-stamp arrays + per-stamp
         #      selected arrays + per-stamp output grids ----------------------
@@ -1262,9 +1303,12 @@ class Block:
                         r_b.append(col_base + s1)
 
         # ---- vectorized piece/batch construction ---------------------------
+        # pool length is a compiled-program shape: quantize it onto the
+        # sticky rungs so interior groups reuse one program
+        pool_alloc = self._rungs.fit("pool", pool_size, 1 << 16)
         # scatter metadata is int32: a destination index >= 2**31 would wrap
         # negative and mode='drop' would silently discard the write (ADVICE r2)
-        if max(pool_size, n_pad * n_pad, len(infos) * nBflat) >= 2 ** 31:
+        if max(pool_alloc, n_pad * n_pad, len(infos) * nBflat) >= 2 ** 31:
             raise ValueError(
                 f"device-assembly pool too large for int32 scatter indices "
                 f"(pool_size={pool_size}, B size={len(infos) * nBflat}); "
@@ -1296,13 +1340,12 @@ class Block:
             dt_np = np.dtype(dt)
             combined = self._group_combined_stack(stacks, dt, device)
             L = len(xt)
-            Lp = max(_psfgrp._TABLE_PAD, -(-L // _psfgrp._TABLE_PAD)
-                     * _psfgrp._TABLE_PAD)
+            Lp = self._rungs.fit("table", L, _psfgrp._TABLE_PAD)
             xt_d = put(np.pad(np.asarray(xt, np.float64), (0, Lp - L)))
             yt_d = put(np.pad(np.asarray(yt, np.float64), (0, Lp - L)))
 
             self._pool_round = getattr(self, "_pool_round", 0) + 1
-            pool_holder = {"arr": assemble.zeros_on(max(pool_size, 1), dt,
+            pool_holder = {"arr": assemble.zeros_on(max(pool_alloc, 1), dt,
                                                     device),
                            "device": device,
                            "round": self._pool_round}
@@ -1399,7 +1442,12 @@ class Block:
                         calls, self._dev_submat[key][devid], sel_off, s_idx,
                         dstA_base, True, device)
                     self._drop_dev_ref(key)
-            selmap = put(np.concatenate(sel_parts))
+            # selection-map length is a compiled shape too; the padded tail
+            # (-1 = unselected) is never indexed by any metadata row
+            sel_cat = np.concatenate(sel_parts)
+            sel_pad = self._rungs.fit("selmap", len(sel_cat), 1024)
+            selmap = put(np.pad(sel_cat, (0, sel_pad - len(sel_cat)),
+                                constant_values=-1))
             A_flat = assemble.init_A_batch(put(diag), n_pad)
             for (hid, sym), (holder, rows) in calls.items():
                 fn = assemble.pool_to_A_sym if sym else assemble.pool_to_A
@@ -1457,20 +1505,30 @@ class Block:
         return [(infos, out, 0, zeros)]
 
     def _group_combined_stack(self, stacks, dt, device):
-        """Concatenate the group's overlap stacks on `device` (one dispatch)."""
-        import jax
+        """Concatenate the group's overlap stacks on `device`.
+
+        Stacks are placed into a rung-padded buffer with one
+        dynamic_update_slice per stack: program signatures depend only on
+        (buffer rung, stack shape), never on the per-group multiset of
+        stacks -- a direct jnp.concatenate signature recompiled for nearly
+        every production group.  Padded rows are zeros and are referenced
+        only by padded (nval = 0) scan rows.
+        """
         import jax.numpy as jnp
+
+        from .ops import assemble
 
         if not stacks:
             return jnp.zeros((1, 1, 1), dtype=dt)
-        arrs = [s.astype(dt) for s in stacks]
-        if len(arrs) == 1:
-            combined = arrs[0]
-        else:
-            combined = jnp.concatenate(arrs, axis=0)
-        if device is not None:
-            combined = jax.device_put(combined, device)
-        return combined
+        ny, nx = stacks[0].shape[-2:]
+        stot = sum(s.shape[0] for s in stacks)
+        K = self._rungs.fit("stack_rows", stot, 8)
+        buf = assemble.zeros3_on(K, ny, nx, dt, device)
+        off = 0
+        for s in stacks:
+            buf = assemble.place_stack(buf, s, np.int32(off))
+            off += s.shape[0]
+        return buf
 
     def _drain_group_results(self, results):
         """Download the stacked device outputs and accumulate them.
@@ -1774,6 +1832,9 @@ class Block:
         print(f"checkpoint: saved {int(arrs['groups_done'])} groups "
               f"-> {p}", flush=True)
         self._print_hbm()
+        # cumulative phase timings at every snapshot (PYIMCOM_PROFILE=1),
+        # so multi-hour production runs expose where the time goes
+        _profile_report(f"ckpt {int(arrs['groups_done'])}")
 
     def _print_hbm(self):
         """Device memory telemetry (when the platform exposes it): live
@@ -1887,9 +1948,10 @@ class Block:
 
         # one n_pad across the round so the shard shapes match (padding is
         # neutral: identity diagonal, zero B columns)
-        n_pad = max(SOLVE_BUCKET, int(np.ceil(
-            max(i[2]["n"] for _g, _d, infos, _z in planned for i in infos)
-            / SOLVE_BUCKET) * SOLVE_BUCKET))
+        n_pad = self._rungs.fit(
+            "n_pad",
+            max(i[2]["n"] for _g, _d, infos, _z in planned for i in infos),
+            SOLVE_BUCKET)
         parts = []
         for g, d, infos, _zeros in planned:
             parts.append(self._coadd_group_device(

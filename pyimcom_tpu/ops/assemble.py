@@ -371,6 +371,31 @@ def relevance_mask(out_x, out_y, in_x, in_y, rho):
                       out_x[:, None] - in_x[None, :]) < rho)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def place_stack(buf, stk, off):
+    """Copy one overlap stack into the combined buffer at row `off`.
+
+    `off` is traced, so the compiled-program signature depends only on
+    (buffer shape, stack shape) -- the per-group stack multiset never
+    forces a recompile (coadd.Block._group_combined_stack)."""
+    zero = jnp.zeros_like(off)
+    return jax.lax.dynamic_update_slice(
+        buf, stk.astype(buf.dtype), (off, zero, zero))
+
+
+@functools.lru_cache(maxsize=None)
+def _zeros3_fn(k: int, ny: int, nx: int, dtype_name: str, device):
+    dtype = jnp.dtype(dtype_name)
+    sh = jax.sharding.SingleDeviceSharding(device) if device is not None else None
+    return jax.jit(lambda: jnp.zeros((k, ny, nx), dtype), out_shardings=sh)
+
+
+def zeros3_on(k: int, ny: int, nx: int, dtype, device=None):
+    """Allocate a (k, ny, nx) zero buffer directly on `device`."""
+    return _zeros3_fn(int(k), int(ny), int(nx), jnp.dtype(dtype).name,
+                      device)()
+
+
 @functools.lru_cache(maxsize=None)
 def _zeros_fn(n: int, dtype_name: str, device):
     dtype = jnp.dtype(dtype_name)

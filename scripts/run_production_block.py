@@ -129,6 +129,9 @@ def main():
     env.update({
         "PYIMCOM_CHECKPOINT": "1",
         "PYIMCOM_CKPT_SEC": str(args.ckpt_sec),
+        # cumulative phase timings printed at each checkpoint, so the
+        # multi-hour log shows where warm steady-state time goes
+        "PYIMCOM_PROFILE": "1",
     })
 
     out_fits = WORK / "out" / "testout_F_full_00_01.fits"
