@@ -144,9 +144,25 @@ def main():
     if args.cpu_only:
         os.environ["JAX_PLATFORMS"] = "cpu"
 
+    # The first jax backend touch initializes the remote-TPU platform and
+    # can hang indefinitely when the tunnel is down -- before any SIGALRM
+    # watchdog is armed.  Probe the tunnel in a subprocess (which can be
+    # killed) and fall back to the CPU platform for this whole process if
+    # the probe does not come back.
+    probe_note = ""
+    if not args.cpu_only and os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        import subprocess
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, check=True, capture_output=True)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            probe_note = "; accelerator unreachable (probe), CPU only"
+
     import jax
 
-    if args.cpu_only:
+    if args.cpu_only or probe_note:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     # keep the compile cache inside the repo so it survives across rounds
@@ -182,7 +198,7 @@ def main():
     stop_dev, nrun_dev = 0, 16
     cpu_full = bool(args.full)
     platform = jax.default_backend()
-    note = ""
+    note = probe_note
     signal.signal(signal.SIGALRM, _alarm)
     ibx, iby = divmod(1, cfg_dict["BLOCK"])
 
