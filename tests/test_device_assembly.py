@@ -261,3 +261,41 @@ def test_pool_budget_eviction_matches_unbudgeted(small_survey, monkeypatch,
     monkeypatch.delenv("PYIMCOM_POOL_BUDGET_GB")
     assert "pool budget: evicted" in capfd.readouterr().out
     _compare_outputs(out_ref, out_ev, atol_sci=1e-12)
+
+
+def test_shape_rungs_reuse_and_headroom():
+    """Sticky shape quantizer: near-miss growth reuses an existing rung
+    instead of minting a new compiled shape (coadd._ShapeRungs)."""
+    from pyimcom_tpu.coadd import _ShapeRungs
+
+    r = _ShapeRungs()
+    a = r.fit("pool", 100_000, 1 << 16)
+    assert a >= 100_000 and a % (1 << 16) == 0
+    # anything smaller reuses the same rung
+    assert r.fit("pool", 60_000, 1 << 16) == a
+    # growth within the 8% headroom still fits the first rung
+    assert r.fit("pool", a - 1, 1 << 16) == a
+    # larger than the rung mints a new one, again with headroom
+    b = r.fit("pool", a + 1, 1 << 16)
+    assert b > a and b % (1 << 16) == 0
+    # smallest fitting rung wins (not the largest)
+    assert r.fit("pool", 50_000, 1 << 16) == a
+    # kinds are independent
+    c = r.fit("selmap", 10, 1024)
+    assert c == 1024 and r.used["selmap"] == [1024]
+
+
+def test_place_stack_matches_concatenate():
+    """Rung-padded dynamic_update_slice placement == jnp.concatenate on
+    the used prefix (coadd.Block._group_combined_stack contract)."""
+    rng = np.random.default_rng(7)
+    stacks = [rng.standard_normal((k, 6, 5)) for k in (3, 1, 4)]
+    buf = assemble.zeros3_on(16, 6, 5, jnp.float64)
+    off = 0
+    for s in stacks:
+        buf = assemble.place_stack(buf, jnp.asarray(s), np.int32(off))
+        off += s.shape[0]
+    ref = np.concatenate(stacks, axis=0)
+    got = np.asarray(buf)
+    assert np.array_equal(got[:off], ref)
+    assert np.all(got[off:] == 0.0)
