@@ -129,9 +129,6 @@ def main():
     env.update({
         "PYIMCOM_CHECKPOINT": "1",
         "PYIMCOM_CKPT_SEC": str(args.ckpt_sec),
-        # cumulative phase timings printed at each checkpoint, so the
-        # multi-hour log shows where warm steady-state time goes
-        "PYIMCOM_PROFILE": "1",
     })
 
     out_fits = WORK / "out" / "testout_F_full_00_01.fits"
@@ -140,6 +137,10 @@ def main():
     n_restarts = 0
 
     while True:
+        # profile only the first child: phase brackets block_until_ready
+        # for honest attribution, which serializes the async pipeline --
+        # good for one warm diagnostic segment, too slow for the long haul
+        env["PYIMCOM_PROFILE"] = "1" if n_restarts == 0 else "0"
         p, f = launch(env)
         try:
             while True:
