@@ -109,6 +109,9 @@ def write_partial(ckpt, n_restarts):
         "checkpoint": str(ckpt),
         "unit": ("2560^2-px production block (6400 stamps) on one chip; "
                  "resumable from checkpoint"),
+        "note": ("median stamp-gap over the log tail; segments before the "
+                 "shape-rung fix were XLA-compile-bound, not steady-state "
+                 "(bench --production measured 8.6 s/stamp warm)"),
     }
     (REPO / "PRODUCTION_r03.json").write_text(json.dumps(result) + "\n")
     print(json.dumps(result), flush=True)
