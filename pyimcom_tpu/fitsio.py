@@ -184,6 +184,18 @@ class HDUList(list):
     def writeto(self, fname, overwrite=True):
         fits_write(fname, self)
 
+    # astropy-parity context-manager protocol (astropy HDULists are used
+    # as `with fits.open(...) as f:`; buffers here are already in memory,
+    # so close is a no-op)
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        return False
+
+    def close(self):
+        pass
+
 
 # --------------------------------------------------------------------------
 # reading

@@ -98,9 +98,10 @@ def test_eigen_kernel_consistent(kernel_runs):
     assert np.std((d_mk - d_eigdev)[region]) < 3e-5
     assert abs(np.mean((d_mk - d_eigdev)[region])) < 2e-6
 
-    # star recovered by the Cholesky run in this region
-    yy, xx = np.mgrid[0:d_chol.shape[0], 0:d_chol.shape[1]]
+    # star recovered by the Eigen runs in this region
+    d_eig_star, xs, ys = _star_image(kernel_runs["eigen"])
+    yy, xx = np.mgrid[0:d_eig_star.shape[0], 0:d_eig_star.shape[1]]
     p = np.exp(-0.5 * ((xx - xs) ** 2 + (yy - ys) ** 2) / SIG_OUT ** 2) \
         / (2 * np.pi * SIG_OUT ** 2 * SC)
-    SL1 = np.sum((p * d_chol)[region]) / np.sum((p ** 2)[region])
+    SL1 = np.sum((p * d_eig_star)[region]) / np.sum((p ** 2)[region])
     assert abs(SL1 - 1) < 1e-3
