@@ -140,10 +140,14 @@ def main():
     n_restarts = 0
 
     while True:
-        # profile only the first child: phase brackets block_until_ready
-        # for honest attribution, which serializes the async pipeline --
-        # good for one warm diagnostic segment, too slow for the long haul
-        env["PYIMCOM_PROFILE"] = "1" if n_restarts == 0 else "0"
+        # profiling brackets every phase in block_until_ready for honest
+        # attribution, which serializes the async pipeline -- request it
+        # explicitly (PYIMCOM_PROD_PROFILE=1) for a diagnostic segment;
+        # the default long-haul run keeps the pipeline asynchronous
+        env["PYIMCOM_PROFILE"] = (
+            "1" if (n_restarts == 0
+                    and os.environ.get("PYIMCOM_PROD_PROFILE") == "1")
+            else "0")
         p, f = launch(env)
         try:
             while True:
