@@ -52,6 +52,35 @@ print(f"CHILD_DONE wall={time.time() - t0:.1f}", flush=True)
 """
 
 
+def tunnel_up(timeout=75):
+    """
+    True when the accelerator backend initializes in a throwaway
+    subprocess.  The remote-TPU link hangs *inside* backend init (signals
+    cannot interrupt it), so the probe must be a separate process with a
+    hard timeout -- same pattern as bench.py's pre-flight probe.
+    """
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.default_backend() != 'cpu'"],
+            timeout=timeout, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+        return rc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_tunnel(t_start, max_hours, probe_sec=120):
+    """Block until the tunnel answers (or the max-hours budget expires)."""
+    while (time.time() - t_start) / 3600.0 <= max_hours:
+        if tunnel_up():
+            return True
+        print(f"[watchdog] tunnel down; next probe in {probe_sec}s",
+              flush=True)
+        time.sleep(probe_sec)
+    return False
+
+
 def launch(env):
     f = open(LOG, "ab")
     p = subprocess.Popen(
@@ -148,6 +177,13 @@ def main():
             "1" if (n_restarts == 0
                     and os.environ.get("PYIMCOM_PROD_PROFILE") == "1")
             else "0")
+        # don't burn a stall cycle on a child that will only hang in
+        # backend init: launch when the tunnel actually answers
+        if not wait_for_tunnel(t_start, args.max_hours):
+            print("[watchdog] max-hours reached while tunnel down",
+                  flush=True)
+            write_partial(ckpt, n_restarts)
+            return 2
         p, f = launch(env)
         try:
             while True:
