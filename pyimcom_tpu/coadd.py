@@ -19,6 +19,7 @@ so XLA compiles one program per bucket instead of one per stamp.
 from __future__ import annotations
 
 
+import bisect
 import os
 import time
 from itertools import combinations, product
@@ -66,7 +67,7 @@ def _scan_pad(n: int) -> int:
 
 class _ShapeRungs:
     """
-    Sticky per-run shape quantizer: reuse previously compiled sizes.
+    Deterministic geometric shape quantizer.
 
     The fused group programs take several operands whose natural sizes
     differ slightly for every 2x2 stamp group (submatrix-pool length,
@@ -75,27 +76,30 @@ class _ShapeRungs:
     compile-bound: ~2-3 fresh compiles/minute for hours (each 30-90 s
     over the TPU relay), 235 s/group steady state vs 26 s/group warm.
 
-    `fit(kind, n)` returns the smallest size already used for `kind` that
-    fits `n`; only when none fits does it mint a new rung, with ~8%
-    headroom so near-miss growth doesn't mint again.  Distinct compiled
-    shapes per kind are O(log_1.08(max/min)) instead of O(#groups).
-    Padding is numerically neutral everywhere these sizes are used
-    (identity solve padding, never-read pool/selmap/stack tails).
+    `fit(kind, n, quantum)` rounds n up onto a fixed ladder: multiples of
+    `quantum` spaced by ~8% (`headroom`).  Distinct compiled shapes per
+    kind are O(log_1.08(max/min)) instead of O(#groups) -- and, because
+    the ladder depends only on (quantum, headroom), the SAME sizes come
+    back in every process: a watchdog-restarted or resumed block replays
+    identical shapes and hits the persistent XLA compile cache instead of
+    re-entering a compile storm (the earlier per-run "sticky" quantizer
+    minted different rungs after every restart).  Padding is numerically
+    neutral everywhere these sizes are used (identity solve padding,
+    never-read pool/selmap/stack tails).
     """
 
     def __init__(self, headroom: float = 1.08):
         self.headroom = headroom
-        self.used: dict[str, list[int]] = {}
+        self._ladders: dict[int, list[int]] = {}
 
     def fit(self, kind: str, n: int, quantum: int = 128) -> int:
-        used = self.used.setdefault(kind, [])
-        for v in used:           # ascending: smallest fitting rung wins
-            if v >= n:
-                return v
-        v = int(np.ceil(max(n, 1) * self.headroom / quantum) * quantum)
-        used.append(v)
-        used.sort()
-        return v
+        lad = self._ladders.setdefault(quantum, [quantum])
+        n = max(int(n), 1)
+        while lad[-1] < n:
+            lad.append(max(
+                lad[-1] + quantum,
+                int(np.ceil(lad[-1] * self.headroom / quantum)) * quantum))
+        return lad[bisect.bisect_left(lad, n)]
 
 
 class _SubmatStore:

@@ -263,26 +263,31 @@ def test_pool_budget_eviction_matches_unbudgeted(small_survey, monkeypatch,
     _compare_outputs(out_ref, out_ev, atol_sci=1e-12)
 
 
-def test_shape_rungs_reuse_and_headroom():
-    """Sticky shape quantizer: near-miss growth reuses an existing rung
-    instead of minting a new compiled shape (coadd._ShapeRungs)."""
+def test_shape_rungs_deterministic_ladder():
+    """Shape quantizer: ~8%-spaced geometric ladder, identical across
+    processes so restarted/resumed blocks hit the persistent compile
+    cache (coadd._ShapeRungs)."""
     from pyimcom_tpu.coadd import _ShapeRungs
 
     r = _ShapeRungs()
     a = r.fit("pool", 100_000, 1 << 16)
     assert a >= 100_000 and a % (1 << 16) == 0
-    # anything smaller reuses the same rung
-    assert r.fit("pool", 60_000, 1 << 16) == a
-    # growth within the 8% headroom still fits the first rung
-    assert r.fit("pool", a - 1, 1 << 16) == a
-    # larger than the rung mints a new one, again with headroom
-    b = r.fit("pool", a + 1, 1 << 16)
-    assert b > a and b % (1 << 16) == 0
-    # smallest fitting rung wins (not the largest)
-    assert r.fit("pool", 50_000, 1 << 16) == a
-    # kinds are independent
-    c = r.fit("selmap", 10, 1024)
-    assert c == 1024 and r.used["selmap"] == [1024]
+    # quantization never exceeds quantum + 8% headroom
+    assert a <= int(100_000 * 1.08) + (1 << 16)
+    # idempotent: a rung maps to itself
+    assert r.fit("pool", a, 1 << 16) == a
+    # deterministic across instances (the property restarts rely on):
+    # a fresh quantizer, fed sizes in any order, returns the same rungs
+    r2 = _ShapeRungs()
+    for n in (500_000, 100_000, 1, 65_536, 3_000_000, 100_001):
+        assert r2.fit("pool", n, 1 << 16) == r.fit("pool", n, 1 << 16)
+    # distinct rungs stay O(log range): 1..10M at 8% spacing
+    vals = {r.fit("x", n, 128) for n in range(1, 10_000_000, 9973)}
+    assert len(vals) < 120
+    # monotone and covering
+    assert r.fit("pool", 60_000, 1 << 16) == 1 << 16
+    big = r.fit("pool", 3_000_000, 1 << 16)
+    assert big >= 3_000_000
 
 
 def test_place_stack_matches_concatenate():
