@@ -75,6 +75,10 @@ def bilinear_gather(image: np.ndarray, xf: np.ndarray, yf: np.ndarray,
 
 
 def _bilinear_gather_np(image, xf, yf, g_eff=None):
+    from . import native
+
+    if native.available():
+        return native.bilinear_gather(image, xf, yf, g_eff)
     ny, nx = image.shape
     x0 = np.floor(xf).astype(np.int64)
     y0 = np.floor(yf).astype(np.int64)
@@ -121,6 +125,11 @@ def bilinear_scatter_adjoint(values: np.ndarray, xf: np.ndarray, yf: np.ndarray,
                 jnp.asarray(values), jnp.asarray(xf), jnp.asarray(yf),
                 tuple(shape))
             return np.asarray(out)
+
+    from . import native
+
+    if native.available():
+        return native.bilinear_scatter_adjoint(values, xf, yf, shape)
 
     ny, nx = shape
     x0 = np.floor(xf).astype(np.int64)

@@ -460,7 +460,18 @@ def d5512_weights_np(fh: np.ndarray) -> np.ndarray:
 
 def interp2d_np(image: np.ndarray, x: np.ndarray, y: np.ndarray,
                 kern: str = "D5512") -> np.ndarray:
-    """NumPy twin of :func:`interp2d` (vectorized gather + einsum)."""
+    """NumPy twin of :func:`interp2d` (vectorized gather + einsum).
+
+    Routed through the native C++ kernel when it compiled on this host
+    (pyimcom_tpu.native; ~10x on one core because the (N, size, size)
+    patch temporary never materializes) -- this is the hot host loop of
+    batched PSF sampling (psfgrp.sample_psf_rotated_batch host mode).
+    """
+    from .. import native
+
+    if native.available():
+        return native.interp2d_multi(
+            np.asarray(image, dtype=np.float64), x, y, kern)[0]
     _e, _o, size, lo, hi = KERNEL_FAMILIES[kern]
     image = np.asarray(image, dtype=np.float64)
     ny, nx = image.shape
