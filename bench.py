@@ -157,8 +157,26 @@ def main():
                 [sys.executable, "-c", "import jax; jax.devices()"],
                 timeout=180, check=True, capture_output=True)
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            # A half-open relay can hang `import jax` ITSELF (the plugin
+            # registered at interpreter startup dials on import), even
+            # under JAX_PLATFORMS=cpu -- so a plain env-var fallback would
+            # hang this very process.  Re-exec with the plugin site
+            # stripped from PYTHONPATH; the marker env var bounds this to
+            # one re-exec.
+            if os.environ.get("PYIMCOM_BENCH_REEXEC") != "1":
+                env = dict(os.environ)
+                env["PYIMCOM_BENCH_REEXEC"] = "1"
+                env["JAX_PLATFORMS"] = "cpu"
+                env["PYTHONPATH"] = os.pathsep.join(
+                    p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                    if p and "axon" not in p)
+                os.execve(sys.executable,
+                          [sys.executable, __file__, *sys.argv[1:]], env)
             os.environ["JAX_PLATFORMS"] = "cpu"
             probe_note = "; accelerator unreachable (probe), CPU only"
+    if os.environ.get("PYIMCOM_BENCH_REEXEC") == "1":
+        probe_note = "; accelerator unreachable (probe), CPU only"
+        args.cpu_only = True
 
     import jax
 
