@@ -1261,15 +1261,21 @@ class Block:
             jA, jB = (ji2, ji1) if swap else (ji1, ji2)   # stack order
             st1, st2 = self.instamps[jA], self.instamps[jB]
             n1s, n2s = st1.n_pix, st2.n_pix
+            # rung-padded storage dims: the selection-matmul A assembly
+            # (ops/assemble.pool_to_A_mm) dynamic-slices (n1r, n2r) tiles,
+            # so submatrices are stored with quantized strides; padding
+            # stays zero and multiplies to zero in every consumer
+            n1r = self._rungs.fit("subdim", n1s, 8)
+            n2r = self._rungs.fit("subdim", n2s, 8)
             base = pool_size
-            pool_size += n1s * n2s
-            fresh[key] = (base, n1s, n2s, jA, jB, okey, seam)
+            pool_size += n1r * n2r
+            fresh[key] = (base, n1s, n2s, n1r, n2r, jA, jB, okey, seam)
             fp = cfg.flat_penalty
             for im1, s1, e1 in _psfgrp._image_runs(st1.img_idx):
                 for im2, s2, e2 in _psfgrp._image_runs(st2.img_idx):
                     k = int(grpa.idx_blk2grp[im1]) * grpb.n_psf \
                         + int(grpb.idx_blk2grp[im2])
-                    dst_base0 = base + s1 * n2s + s2
+                    dst_base0 = base + s1 * n2r + s2
                     r_kg.append(sbase + k)
                     r_i1.append(base_full[jA] + s1)
                     r_w1.append(e1 - s1)
@@ -1277,12 +1283,12 @@ class Block:
                     r_w2.append(e2 - s2)
                     r_kind.append(0)
                     r_a.append(dst_base0)
-                    r_b.append(n2s)
+                    r_b.append(n2r)
                     if fp != 0.0:
                         const = -fp / n_in_eff + fp * (im1 == im2)
                         nq = (e1 - s1) * (e2 - s2)
                         for off in range(0, nq, CH):
-                            fp_rows.append(((dst_base0, e2 - s2, n2s, off,
+                            fp_rows.append(((dst_base0, e2 - s2, n2r, off,
                                              min(CH, nq - off)), const))
 
         # ---- io rectangles (selected pixels x output grid), per stamp ------
@@ -1401,10 +1407,11 @@ class Block:
             _sync((pool_holder["arr"], Bflat))
 
         # register fresh submatrices; release their overlap-stack references
-        for key, (base, n1s, n2s, jA, jB, okey, seam) in fresh.items():
+        for key, (base, n1s, n2s, n1r, n2r, jA, jB, okey, seam) in \
+                fresh.items():
             self._dev_submat.setdefault(key, {})[devid] = dict(
                 holder=pool_holder, base=base, n1=n1s, n2=n2s,
-                ji_row=jA, ji_col=jB)
+                n1r=n1r, n2r=n2r, ji_row=jA, ji_col=jB)
             self._submat_computed.add(key)
             self._release_ii_overlap(*okey)
 
@@ -1434,16 +1441,16 @@ class Block:
                 # identity diagonal on PADDED slots only (padding convention)
                 diag[s_idx] = np.arange(n_pad) >= info["n"]
                 dstA_base = s_idx * n_pad * n_pad
+                enq = (self._enqueue_submat_mm if self._use_mm_assembly()
+                       else self._enqueue_submat_rows)
                 for ji in ji_in_s:
                     key = (ji, ji)
-                    self._enqueue_submat_rows(
-                        calls, self._dev_submat[key][devid], sel_off, s_idx,
+                    enq(calls, self._dev_submat[key][devid], sel_off, s_idx,
                         dstA_base, False, device)
                     self._drop_dev_ref(key)
                 for ja, jb in combinations(ji_in_s, 2):
                     key = (ja, jb) if ja <= jb else (jb, ja)
-                    self._enqueue_submat_rows(
-                        calls, self._dev_submat[key][devid], sel_off, s_idx,
+                    enq(calls, self._dev_submat[key][devid], sel_off, s_idx,
                         dstA_base, True, device)
                     self._drop_dev_ref(key)
             # selection-map length is a compiled shape too; the padded tail
@@ -1453,13 +1460,23 @@ class Block:
             selmap = put(np.pad(sel_cat, (0, sel_pad - len(sel_cat)),
                                 constant_values=-1))
             A_flat = assemble.init_A_batch(put(diag), n_pad)
-            for (hid, sym), (holder, rows) in calls.items():
-                fn = assemble.pool_to_A_sym if sym else assemble.pool_to_A
-                R = _scan_pad(len(rows))
-                meta = np.zeros((R, 7), np.int32)
-                meta[:len(rows)] = rows
-                A_flat = fn(A_flat, holder["arr"], put(meta), selmap,
-                            CH, n_pad)
+            if self._use_mm_assembly():
+                for (hid, n1r, n2r, sym), (holder, rows) in calls.items():
+                    U = self._rungs.fit("mm_uses", len(rows), 4)
+                    uses = np.zeros((U, 5), np.int32)
+                    uses[:len(rows)] = rows
+                    A_flat = assemble.pool_to_A_mm(
+                        A_flat, holder["arr"], put(uses), selmap,
+                        n1r, n2r, n_pad, sym)
+            else:
+                for (hid, sym), (holder, rows) in calls.items():
+                    fn = (assemble.pool_to_A_sym if sym
+                          else assemble.pool_to_A)
+                    R = _scan_pad(len(rows))
+                    meta = np.zeros((R, 7), np.int32)
+                    meta[:len(rows)] = rows
+                    A_flat = fn(A_flat, holder["arr"], put(meta), selmap,
+                                CH, n_pad)
             _sync(A_flat)
 
         # ---- batched solve + coadd: one dispatch for the whole group -------
@@ -1636,7 +1653,7 @@ class Block:
         device-to-device replication ever happens here; the counter guards
         that invariant for the tests.
         """
-        n1s, n2s = rec["n1"], rec["n2"]
+        n1r, n2r = rec["n1r"], rec["n2r"]
         m1 = sel_off[(s_idx, rec["ji_row"])]
         m2 = sel_off[(s_idx, rec["ji_col"])]
         holder = rec["holder"]
@@ -1646,10 +1663,35 @@ class Block:
                 "cross-device pool reuse slipped through band sharding "
                 f"(pool on {holder['device']}, stamp on {device})")
         entry = calls.setdefault((id(holder), sym), (holder, []))
-        total = n1s * n2s
+        # chunk over the rung-padded (n1r, n2r) storage tile: padded
+        # entries hold zeros and scatter-add nothing
+        total = n1r * n2r
         for off in range(0, total, self.CHUNK):
-            entry[1].append((rec["base"] + off, n2s, m1, m2,
+            entry[1].append((rec["base"] + off, n2r, m1, m2,
                              min(self.CHUNK, total - off), off, dstA_base))
+
+    def _use_mm_assembly(self):
+        """Selection-matmul A assembly (pool_to_A_mm) vs element scatter.
+
+        Default ON: the matmul path runs at MXU speed where TPU scatter
+        throughput dominated production groups (~12 s/group measured);
+        PYIMCOM_A_MM=0 restores the scatter path for A/B comparisons."""
+        return os.environ.get("PYIMCOM_A_MM", "1") == "1"
+
+    def _enqueue_submat_mm(self, calls, rec, sel_off, s_idx, dstA_base,
+                           sym, device=None):
+        """Append one pool_to_A_mm use row for a submatrix placement."""
+        m1 = sel_off[(s_idx, rec["ji_row"])]
+        m2 = sel_off[(s_idx, rec["ji_col"])]
+        holder = rec["holder"]
+        if device is not None and holder["device"] is not device:
+            self._cross_device_puts += 1
+            raise RuntimeError(
+                "cross-device pool reuse slipped through band sharding "
+                f"(pool on {holder['device']}, stamp on {device})")
+        entry = calls.setdefault(
+            (id(holder), rec["n1r"], rec["n2r"], sym), (holder, []))
+        entry[1].append((rec["base"], m1, m2, s_idx, 1))
 
     def _drop_dev_ref(self, key):
         """Consume one reference to a device-pooled submatrix (all device

@@ -113,6 +113,67 @@ def pool_to_A(A, pool, meta, selmap, bucket: int, n_pad: int):
     return A.at[dst.ravel()].add(vals.ravel(), mode="drop")
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n1r", "n2r", "n_pad", "sym"),
+                   donate_argnums=(0,))
+def pool_to_A_mm(A, pool, uses, selmap, n1r: int, n2r: int, n_pad: int,
+                 sym: bool):
+    """
+    Selection-matmul A assembly: the MXU replaces the element scatter.
+
+    :func:`pool_to_A` scatters every submatrix element through
+    individually computed int32 destinations; at production volume
+    (~1e9 elements/group) TPU scatter throughput — far below HBM
+    bandwidth — made this THE dominant group phase (~12 s/group), and
+    the index arithmetic alone materialized multi-GB int32 temporaries.
+    Here each submatrix use becomes two dense matmuls with one-hot
+    selection operators, so placement runs at MXU speed:
+
+        A[s] += P1ᵀ · sub · P2      (+ transpose when `sym`)
+
+    where P1[r, a] = 1 iff selmap[m1_off + r] == a (likewise P2), i.e.
+    exactly the ``sub[np.ix_(sel, sel)]`` block placement of the host
+    path (reference coadd.py:1028-1069).  One-hot matmuls are EXACT at
+    Precision.HIGHEST (the 3-way bf16 split reconstructs f32 and each
+    output element sums a single nonzero product), so this path is
+    numerically identical to the scatter path up to f32 addition order.
+
+    Requires the pool layout to be rung-padded: each submatrix stored
+    with row stride n2r (>= its true n2) and n1r rows, padding zeros
+    (the planner guarantees this; padded rows/columns multiply zeros).
+
+    A : (S*n_pad*n_pad,) flat group stamp matrices (donated).
+    pool : (P,) rung-padded source pool.
+    uses : (U, 5) int32 rows [base, m1_off, m2_off, s_idx, valid].
+    selmap : as in :func:`pool_to_A`; -1 entries produce all-zero
+        one-hot rows (the unselected-pixel drop).
+    """
+    L = selmap.shape[0] - 1
+    r = jnp.arange(n1r, dtype=jnp.int32)
+    c = jnp.arange(n2r, dtype=jnp.int32)
+    cols = jnp.arange(n_pad, dtype=jnp.int32)
+    hi = jax.lax.Precision.HIGHEST
+
+    def body(A_, u):
+        base, m1, m2, s_idx, valid = u[0], u[1], u[2], u[3], u[4]
+        sub = jax.lax.dynamic_slice(pool, (base,), (n1r * n2r,))
+        sub = sub.reshape(n1r, n2r)
+        s1 = selmap[jnp.minimum(m1 + r, L)]
+        s2 = selmap[jnp.minimum(m2 + c, L)]
+        P1 = (s1[:, None] == cols[None, :]).astype(pool.dtype)
+        P2 = (s2[:, None] == cols[None, :]).astype(pool.dtype)
+        SP = jnp.dot(sub, P2, precision=hi)               # (n1r, n_pad)
+        contrib = jnp.dot(P1.T, SP, precision=hi)         # (n_pad, n_pad)
+        if sym:
+            contrib = contrib + contrib.T
+        contrib = contrib * valid.astype(pool.dtype)
+        A2 = A_.reshape(-1, n_pad * n_pad)
+        return A2.at[s_idx].add(contrib.ravel()).ravel(), None
+
+    A, _ = jax.lax.scan(body, A, uses)
+    return A
+
+
 @functools.partial(jax.jit, static_argnames=("bucket", "n_pad"),
                    donate_argnums=(0,))
 def pool_to_A_sym(A, pool, meta, selmap, bucket: int, n_pad: int):

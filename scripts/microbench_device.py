@@ -48,6 +48,8 @@ def main():
                     help="padded per-stamp input-pixel count")
     ap.add_argument("--keys", type=int, default=45,
                     help="fresh submatrices per group")
+    ap.add_argument("--nsub", type=int, default=1088,
+                    help="rung-padded instamp pixel count (submatrix dim)")
     ap.add_argument("--L", type=int, default=383,
                     help="overlap window samples per axis")
     ap.add_argument("--stamps", type=int, default=4)
@@ -70,23 +72,35 @@ def main():
     t = bench(lambda a, b: (jnp.asarray(a), jnp.asarray(b)), tbl, meta)
     out["upload_s"] = round(t, 4)
 
-    # ---- pool_to_A: production metadata volume ----------------------------
-    # K submatrix uses x n^2 elements in 16384-element chunks
+    # ---- A assembly: scatter vs selection-matmul at production shapes -----
+    # A production group: ~45 fresh submatrices of ~(nsub, nsub) each
+    # (instamp pixel counts), used ~4x (once per stamp of the 2x2 group)
+    # = `uses` placements into S stamp matrices of n_pad = n.
+    nsub = args.nsub
+    uses = 4 * K
     CH = 16384
-    rows_per_key = -(-n * n // CH)
-    R = K * rows_per_key
-    pool = jnp.asarray(rng.standard_normal(K * n * n).astype(np.float32))
+    pool = jnp.asarray(
+        rng.standard_normal(K * nsub * nsub).astype(np.float32))
     diag = jnp.zeros((S, n), dtype=jnp.float32)
-    meta_rows = np.zeros((R, 7), np.int32)
-    for k in range(K):
-        base = k * n * n
-        for r in range(rows_per_key):
-            off = r * CH
-            meta_rows[k * rows_per_key + r] = (
-                base + off, n, 0, 0, min(CH, n * n - off), off,
-                (k % S) * n * n)
-    selmap = jnp.asarray(np.arange(n, dtype=np.int32))
-    meta_d = jnp.asarray(meta_rows)
+    # selection: each instamp's nsub pixels -> a contiguous A slot range
+    # (9 instamps per stamp; every placement targets a random instamp pair)
+    selmap_np = np.full(9 * nsub, -1, np.int32)
+    nsel = n // 9
+    for piece in range(9):
+        idx = np.sort(rng.choice(nsub, size=min(nsel, nsub), replace=False))
+        selmap_np[piece * nsub + idx] = piece * nsel + np.arange(len(idx))
+    selmap = jnp.asarray(selmap_np)
+
+    # scatter path: chunked meta rows per use
+    rows = []
+    for u in range(uses):
+        base = (u % K) * nsub * nsub
+        m1, m2 = (u % 9) * nsub, ((u * 5 + 3) % 9) * nsub
+        dstA = (u % S) * n * n
+        for off in range(0, nsub * nsub, CH):
+            rows.append((base + off, nsub, m1, m2,
+                         min(CH, nsub * nsub - off), off, dstA))
+    meta_d = jnp.asarray(np.asarray(rows, np.int32))
 
     def run_pool_to_A(pool_, meta_, sel_):
         # pool_to_A donates A: rebuild the (cheap) init each call
@@ -94,10 +108,29 @@ def main():
         return assemble.pool_to_A(A_, pool_, meta_, sel_, CH, n)
 
     t = bench(run_pool_to_A, pool, meta_d, selmap)
-    gb = R * CH * 4 / 2 ** 30
+    gel = uses * nsub * nsub / 1e9
     out["pool_to_A_s"] = round(t, 4)
-    out["pool_to_A_GB"] = round(gb, 2)
-    out["pool_to_A_GBps"] = round(gb / t, 2)
+    out["pool_to_A_Gelem"] = round(gel, 3)
+    out["pool_to_A_Geps"] = round(gel / t, 3)
+
+    # matmul path: one use row per placement (sym covers the off-diagonal
+    # double write; time the sym variant, the more expensive one)
+    uses_mm = np.zeros((uses, 5), np.int32)
+    for u in range(uses):
+        uses_mm[u] = ((u % K) * nsub * nsub, (u % 9) * nsub,
+                      ((u * 5 + 3) % 9) * nsub, u % S, 1)
+    uses_d = jnp.asarray(uses_mm)
+
+    def run_pool_to_A_mm(pool_, uses_, sel_):
+        A_ = assemble.init_A_batch(diag, n)
+        return assemble.pool_to_A_mm(A_, pool_, uses_, sel_,
+                                     nsub, nsub, n, True)
+
+    t = bench(run_pool_to_A_mm, pool, uses_d, selmap)
+    fl = uses * 2 * (nsub * nsub * n + n * n * nsub) / 1e12
+    out["pool_to_A_mm_s"] = round(t, 4)
+    out["pool_to_A_mm_TFLOP"] = round(fl, 2)
+    out["pool_to_A_mm_TFLOPs"] = round(fl / t, 2)
 
     # ---- sweep matmuls: the banded-weight dense interpolation -------------
     # one (n, L) @ (L, L) @ (L, n) chain per key at HIGHEST precision

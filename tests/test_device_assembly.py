@@ -85,6 +85,53 @@ def test_scatter_pool_and_pool_to_A_match_numpy():
     np.testing.assert_allclose(A2, want + want.T, rtol=0, atol=1e-14)
 
 
+def test_pool_to_A_mm_matches_scatter():
+    """The selection-matmul assembly equals the element-scatter assembly
+    (and the np.ix_ host contract) on a rung-padded pool, both symmetric
+    and not, including -1 (unselected) drops and multi-stamp targets."""
+    rng = np.random.default_rng(7)
+    n1s, n2s = 37, 53
+    n1r, n2r = 40, 56          # rung-padded storage dims
+    S, n_pad = 3, 64
+    base = n1r * n2r           # second slot in the pool
+    pool_np = np.zeros(2 * n1r * n2r, np.float32)
+    sub = rng.standard_normal((n1s, n2s)).astype(np.float32)
+    blk = np.zeros((n1r, n2r), np.float32)
+    blk[:n1s, :n2s] = sub
+    pool_np[base:base + n1r * n2r] = blk.ravel()
+    pool = jnp.asarray(pool_np)
+
+    sel1 = np.full(n1s, -1, np.int32)
+    sel1[::2] = np.arange((n1s + 1) // 2)
+    sel2 = np.full(n2s, -1, np.int32)
+    sel2[-20:] = 10 + np.arange(20)
+    # concatenated selmap with rung tails (-1) after each piece
+    m1_off, m2_off = 0, n1r
+    selc = np.full(n1r + n2r + 8, -1, np.int32)
+    selc[m1_off:m1_off + n1s] = sel1
+    selc[m2_off:m2_off + n2s] = sel2
+    selmap = jnp.asarray(selc)
+
+    want = np.zeros((S, n_pad, n_pad), np.float32)
+    want[2][np.ix_(sel1[::2], sel2[-20:])] = sub[::2, -20:]
+
+    uses = np.zeros((4, 5), np.int32)
+    uses[1] = (base, m1_off, m2_off, 2, 1)
+    uses[3] = (base, 0, 0, 0, 0)    # padded (invalid) row: no effect
+    A = assemble.pool_to_A_mm(jnp.zeros(S * n_pad * n_pad, jnp.float32),
+                              pool, jnp.asarray(uses), selmap,
+                              n1r, n2r, n_pad, False)
+    np.testing.assert_allclose(np.asarray(A).reshape(S, n_pad, n_pad),
+                               want, rtol=0, atol=1e-6)
+
+    A2 = assemble.pool_to_A_mm(jnp.zeros(S * n_pad * n_pad, jnp.float32),
+                               pool, jnp.asarray(uses), selmap,
+                               n1r, n2r, n_pad, True)
+    wsym = want + np.transpose(want, (0, 2, 1))
+    np.testing.assert_allclose(np.asarray(A2).reshape(S, n_pad, n_pad),
+                               wsym, rtol=0, atol=1e-6)
+
+
 def test_scatter_B_matches_numpy():
     rng = np.random.default_rng(1)
     n_out, m, n_pad = 2, 9, 32
