@@ -612,7 +612,7 @@ class NoiseAnal:
     h = 6.62607015e-27
     m_ab = 23.9
     AREA = {"Y106": 7006.0, "J129": 7111.0, "H158": 7340.0,
-            "F184": 4654.0, "K213": 4200.0, "W146": 22085.0}
+            "F184": 4840.0, "K213": 4654.0, "W146": 22085.0}
 
     def __init__(self, outimage: OutImage, layer="whitenoise1"):
         self.outimage = outimage

@@ -43,12 +43,24 @@ def phase(name: str):
 
 
 def sync(x):
-    """block_until_ready(x) when profiling, so phase times are honest."""
+    """Force device completion of x when profiling, so phase times are honest.
+
+    ``jax.block_until_ready`` is a NO-OP over the axon relay backend (it
+    returns in microseconds while the device queue is still draining), so
+    honest attribution requires an actual data fetch: pull one element of
+    one leaf -- the producing program must complete before the element
+    exists, and the one-element download is negligible.
+    """
     if enabled():
         try:
             import jax
+            import numpy as np
 
-            jax.block_until_ready(x)
+            leaves = [l for l in jax.tree_util.tree_leaves(x)
+                      if hasattr(l, "ravel")]
+            if leaves:
+                lf = leaves[0]
+                np.asarray(lf.ravel()[0:1] if getattr(lf, "ndim", 0) else lf)
         except Exception:  # noqa: BLE001 - non-array pytrees etc.
             pass
     return x

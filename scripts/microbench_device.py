@@ -27,17 +27,29 @@ import time
 import numpy as np
 
 
-def bench(fn, *args, warm=1, reps=3):
-    import jax
+def sync(r):
+    """Force completion of the queue that produced r.
 
+    block_until_ready is a NO-OP over the axon relay (returns in ~us while
+    the device queue is still draining); the only real synchronization
+    point is a data fetch.  Pull ONE element of one leaf -- the producing
+    program must finish before the element exists, and the download itself
+    is negligible.
+    """
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    np.asarray(leaf.ravel()[0:1])
+
+
+def bench(fn, *args, warm=1, reps=3):
     for _ in range(warm):
-        r = fn(*args)
-        jax.block_until_ready(r)
+        sync(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        r = fn(*args)
-        jax.block_until_ready(r)
+        sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 

@@ -53,6 +53,20 @@ def test_noiseanal_white_noise_level():
     assert not hasattr(na, "ps2d")
 
 
+def test_noiseanal_physical_constants():
+    """Pin every transcribed physical constant against the reference values
+    (reference analysis.py:596-601); a transcription drift here silently
+    mis-normalizes lab-noise power spectra."""
+    assert NoiseAnal.AREA == {"Y106": 7006.0, "J129": 7111.0,
+                              "H158": 7340.0, "F184": 4840.0,
+                              "K213": 4654.0, "W146": 22085.0}
+    assert NoiseAnal.tfr == 3.08
+    assert NoiseAnal.gain == 1.458
+    assert NoiseAnal.ABstd == 3.631e-20
+    assert NoiseAnal.h == 6.62607015e-27
+    assert NoiseAnal.m_ab == 23.9
+
+
 def test_consump_map_from_logs(tmp_path):
     """Consumption maps parse 'finished at t = <sec> s' from per-block logs
     (reference analysis.py:166-183, 1128-1163)."""
