@@ -36,6 +36,35 @@ def _alarm(sig, frame):
     raise Timeout()
 
 
+# Best-effort result, updated as phases complete; flushed by the signal
+# handlers so an outer driver timeout (SIGTERM) still records a number
+# instead of rc=124/parsed-null (the round-3 failure mode).
+PARTIAL = {"metric": "blocks/hour", "value": None,
+           "unit": "benchmark interrupted before any measurement",
+           "vs_baseline": None, "partial": True}
+
+
+def _flush_partial(sig, frame):
+    # exit 0 after flushing: the JSON line itself says `partial`, and a
+    # nonzero rc makes some drivers discard the (valid) line entirely
+    try:
+        print(json.dumps(PARTIAL), flush=True)
+    finally:
+        os._exit(0)
+
+
+def _cpu_cache_path():
+    return pathlib.Path(__file__).parent / ".bench_cpu_baseline.json"
+
+
+def _fixture_key(cfg_dict):
+    import hashlib
+
+    keys = ("OUTSIZE", "BLOCK", "INPAD", "EXTRAINPUT", "LAKERNEL", "UCMIN")
+    s = json.dumps({k: cfg_dict.get(k) for k in keys}, sort_keys=True)
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
 def run_region(cfg_dict, this_sub=1, stop=4, out_suffix=""):
     from pyimcom_tpu.config import Config
     from pyimcom_tpu.coadd import Block
@@ -141,6 +170,10 @@ def main():
                     help="accelerator watchdog seconds")
     args = ap.parse_args()
 
+    # arm the flush-on-kill handler before anything slow (the tunnel probe
+    # alone can take 180 s)
+    signal.signal(signal.SIGTERM, _flush_partial)
+
     if args.cpu_only:
         os.environ["JAX_PLATFORMS"] = "cpu"
 
@@ -206,19 +239,56 @@ def main():
         cfg_dict = json.loads((workdir / "cfg.json").read_text())
 
     # the accelerator coadds the FULL 16-stamp block.  The CPU baseline is
-    # too slow for a full block here, so its 16-stamp block time is
-    # extrapolated SYMMETRICALLY: run stop=4 and stop=8, take the marginal
-    # per-stamp cost from the difference (fixed per-block setup cancels),
-    # and charge the fixed setup exactly once:
-    #   t_block(cpu) = fixed + 16 * marginal
-    # With --full the CPU also runs the full block and no extrapolation
-    # happens.
+    # too slow for a full block here, so it is measured ONCE per fixture
+    # geometry and cached in-repo (.bench_cpu_baseline.json): the 16-stamp
+    # block time is extrapolated SYMMETRICALLY from stop=4 and stop=8 runs
+    # (marginal per-stamp cost from the difference, fixed setup charged
+    # once).  The TPU phase runs FIRST and the result line prints
+    # IMMEDIATELY after it using the cached baseline -- the round-3 bench
+    # died in the CPU phase under the driver's outer timeout with nothing
+    # recorded.  SIGTERM/SIGALRM flush a best-effort JSON before dying.
     stop_dev, nrun_dev = 0, 16
-    cpu_full = bool(args.full)
     platform = jax.default_backend()
     note = probe_note
     signal.signal(signal.SIGALRM, _alarm)
+    signal.signal(signal.SIGTERM, _flush_partial)
     ibx, iby = divmod(1, cfg_dict["BLOCK"])
+
+    fixture_key = _fixture_key(cfg_dict)
+    cpu_cache = None
+    if _cpu_cache_path().exists() and not args.full:
+        try:
+            c = json.loads(_cpu_cache_path().read_text())
+            if c.get("fixture_key") == fixture_key:
+                cpu_cache = c
+        except (OSError, json.JSONDecodeError):
+            pass
+    if cpu_cache:
+        PARTIAL["unit"] = ("benchmark interrupted before the accelerator "
+                           "measurement; cached cpu baseline "
+                           f"{3600.0 / cpu_cache['t_block_cpu']:.2f} b/h")
+
+    def emit(dt, nrun, SL1, uc_med, t_block_cpu, cpu_note, note):
+        cpu_bph = 3600.0 / t_block_cpu
+        blocks_per_hour = 3600.0 / (dt * 16.0 / nrun)
+        result = {
+            "metric": "blocks/hour",
+            "value": round(blocks_per_hour, 3),
+            "unit": f"synthetic 100px blocks/hour on {platform} "
+                    f"({nrun}/16 stamps, SL1={SL1:.5f}, U/C med={uc_med:.1e};"
+                    f" cpu baseline {cpu_bph:.2f} b/h, {cpu_note})" + note,
+            "vs_baseline": round(blocks_per_hour / cpu_bph, 3),
+        }
+        # attach the latest production-geometry evidence when a
+        # scripts/run_production_block.py run has recorded it
+        prods = sorted(pathlib.Path(__file__).parent.glob(
+            "PRODUCTION_r*.json"))
+        if prods:
+            try:
+                result["production"] = json.loads(prods[-1].read_text())
+            except (OSError, json.JSONDecodeError):
+                pass
+        print(json.dumps(result), flush=True)
 
     dt = None
     if platform != "cpu":
@@ -230,16 +300,34 @@ def main():
             signal.alarm(0)
             SL1, uc_med = quality_check(
                 cfg_dict["OUT"] + f"_dev_{ibx:02d}_{iby:02d}.fits")
+            PARTIAL.update(
+                value=round(3600.0 / dt, 3),
+                unit=f"synthetic 100px blocks/hour on {platform} "
+                     f"(16/16 stamps, SL1={SL1:.5f}, U/C med={uc_med:.1e}; "
+                     f"killed before baseline attach)",
+                vs_baseline=None)
+            if cpu_cache is not None:
+                emit(dt, nrun_dev, SL1, uc_med, cpu_cache["t_block_cpu"],
+                     cpu_cache["cpu_note"] + " (cached)", note)
+                return
         except (Timeout, Exception) as e:  # noqa: BLE001
             signal.alarm(0)
             note = f"; {platform} failed ({type(e).__name__}), CPU fallback"
             platform = "cpu-fallback"
             dt = None
+        if dt is None and cpu_cache is not None:
+            # accelerator unreachable but the baseline is known: report the
+            # baseline itself rather than grinding a >20-minute re-measure
+            # under the driver's clock
+            emit(cpu_cache["t_block_cpu"], 16, cpu_cache["SL1"],
+                 cpu_cache["uc_med"], cpu_cache["t_block_cpu"],
+                 cpu_cache["cpu_note"] + " (cached)", note)
+            return
 
     # CPU measurement (the baseline, and the fallback result)
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        if cpu_full:
+        if args.full:
             run_region(cfg_dict, stop=0, out_suffix="_cpu")  # warm compiles
             t_block_cpu = run_region(cfg_dict, stop=0, out_suffix="_cpu")
             cpu_note = "full block"
@@ -251,37 +339,20 @@ def main():
             fixed = max(dt4 - 4.0 * marginal, 0.0)
             t_block_cpu = fixed + 16.0 * marginal
             cpu_note = "16-stamp extrapolation from 4+8-stamp runs"
+        SL1c, uc_medc = quality_check(
+            cfg_dict["OUT"] + f"_cpu_{ibx:02d}_{iby:02d}.fits")
+        if not args.full:
+            _cpu_cache_path().write_text(json.dumps(
+                {"fixture_key": fixture_key, "t_block_cpu": t_block_cpu,
+                 "cpu_note": cpu_note, "SL1": SL1c, "uc_med": uc_medc}))
         if dt is None:
-            SL1, uc_med = quality_check(
-                cfg_dict["OUT"] + f"_cpu_{ibx:02d}_{iby:02d}.fits")
+            SL1, uc_med = SL1c, uc_medc
 
-    cpu_bph = 3600.0 / t_block_cpu
     if dt is None:
-        dt = t_block_cpu
-        nrun = 16
-        vs_baseline = 1.0
+        dt, nrun = t_block_cpu, 16
     else:
         nrun = nrun_dev
-        vs_baseline = (3600.0 / (dt * 16.0 / nrun)) / cpu_bph
-
-    blocks_per_hour = 3600.0 / (dt * 16.0 / nrun)
-    result = {
-        "metric": "blocks/hour",
-        "value": round(blocks_per_hour, 3),
-        "unit": f"synthetic 100px blocks/hour on {platform} "
-                f"({nrun}/16 stamps, SL1={SL1:.5f}, U/C med={uc_med:.1e}; "
-                f"cpu baseline {cpu_bph:.2f} b/h, {cpu_note})" + note,
-        "vs_baseline": round(vs_baseline, 3),
-    }
-    # attach the production-geometry evidence when a
-    # scripts/run_production_block.py run has recorded it
-    prod = pathlib.Path(__file__).parent / "PRODUCTION_r03.json"
-    if prod.exists():
-        try:
-            result["production"] = json.loads(prod.read_text())
-        except (OSError, json.JSONDecodeError):
-            pass
-    print(json.dumps(result))
+    emit(dt, nrun, SL1, uc_med, t_block_cpu, cpu_note, note)
 
 
 if __name__ == "__main__":

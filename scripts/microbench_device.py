@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--L", type=int, default=383,
                     help="overlap window samples per axis")
     ap.add_argument("--stamps", type=int, default=4)
+    ap.add_argument("--scatter", action="store_true",
+                    help="also time the element-scatter pool_to_A path "
+                         "(compiles for many minutes at production volume; "
+                         "known to OOM in compile when unchunked)")
     args = ap.parse_args()
 
     import jax
@@ -103,27 +107,28 @@ def main():
         selmap_np[piece * nsub + idx] = piece * nsel + np.arange(len(idx))
     selmap = jnp.asarray(selmap_np)
 
-    # scatter path: chunked meta rows per use
-    rows = []
-    for u in range(uses):
-        base = (u % K) * nsub * nsub
-        m1, m2 = (u % 9) * nsub, ((u * 5 + 3) % 9) * nsub
-        dstA = (u % S) * n * n
-        for off in range(0, nsub * nsub, CH):
-            rows.append((base + off, nsub, m1, m2,
-                         min(CH, nsub * nsub - off), off, dstA))
-    meta_d = jnp.asarray(np.asarray(rows, np.int32))
+    if args.scatter:
+        # scatter path: chunked meta rows per use
+        rows = []
+        for u in range(uses):
+            base = (u % K) * nsub * nsub
+            m1, m2 = (u % 9) * nsub, ((u * 5 + 3) % 9) * nsub
+            dstA = (u % S) * n * n
+            for off in range(0, nsub * nsub, CH):
+                rows.append((base + off, nsub, m1, m2,
+                             min(CH, nsub * nsub - off), off, dstA))
+        meta_d = jnp.asarray(np.asarray(rows, np.int32))
 
-    def run_pool_to_A(pool_, meta_, sel_):
-        # pool_to_A donates A: rebuild the (cheap) init each call
-        A_ = assemble.init_A_batch(diag, n)
-        return assemble.pool_to_A(A_, pool_, meta_, sel_, CH, n)
+        def run_pool_to_A(pool_, meta_, sel_):
+            # pool_to_A donates A: rebuild the (cheap) init each call
+            A_ = assemble.init_A_batch(diag, n)
+            return assemble.pool_to_A(A_, pool_, meta_, sel_, CH, n)
 
-    t = bench(run_pool_to_A, pool, meta_d, selmap)
-    gel = uses * nsub * nsub / 1e9
-    out["pool_to_A_s"] = round(t, 4)
-    out["pool_to_A_Gelem"] = round(gel, 3)
-    out["pool_to_A_Geps"] = round(gel / t, 3)
+        t = bench(run_pool_to_A, pool, meta_d, selmap)
+        gel = uses * nsub * nsub / 1e9
+        out["pool_to_A_s"] = round(t, 4)
+        out["pool_to_A_Gelem"] = round(gel, 3)
+        out["pool_to_A_Geps"] = round(gel / t, 3)
 
     # matmul path: one use row per placement (sym covers the off-diagonal
     # double write; time the sym variant, the more expensive one)
