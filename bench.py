@@ -123,7 +123,10 @@ def run_production_demo(timeout_s: int = 3600, stop: int = 8):
     sys.path.insert(0, str(pathlib.Path(__file__).parent / "tests"))
     from survey_fixture import build_survey
 
-    workdir = pathlib.Path("/tmp/pyimcom_prod")
+    # durable by default: /tmp is wiped on reboot, which erased the
+    # round-3 checkpoint at 3% of a 100-hour extrapolation
+    workdir = pathlib.Path(os.environ.get(
+        "PYIMCOM_PROD_DIR", str(pathlib.Path(__file__).parent / ".prod_work")))
     workdir.mkdir(exist_ok=True)
     marker = workdir / ".built"
     overrides = {"OUTSIZE": [80, 32, 0.0390625], "INPAD": 1.055,

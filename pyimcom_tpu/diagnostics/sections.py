@@ -412,7 +412,7 @@ class NoiseReport(ReportSection):
                          f"{np.average(total_2d[il]) / self.s_out ** 2:11.5E}")
             lines.append(f"{key} ps1d "
                          + " ".join(f"{v:.5e}" for v in total_1d[il, :, 1]))
-        self.add_datablock("NOISEPOWER", "\n".join(lines))
+        lines.append(f"AVGFILE {os.path.basename(avgfile)}")
 
         # ---- tarball (reference :138-151) --------------------------------
         if self.tarfiles and self.psfiles:
@@ -424,6 +424,10 @@ class NoiseReport(ReportSection):
                     tf.add(f, arcname=os.path.basename(f))
             for f in self.psfiles:
                 os.remove(f)
+            lines.append(f"TARFILE {os.path.basename(tarname)}")
+            lines.extend(f"BUNDLED {os.path.basename(f)}"
+                         for f in self.psfiles)
+        self.add_datablock("NOISEPOWER", "\n".join(lines))
 
 
 class DynamicRange(ReportSection):

@@ -14,7 +14,7 @@ the accumulated maps + drained-group count); a watchdog restarts the child
 whenever its log stops advancing, and the rerun resumes after the saved
 scan-order prefix.  Progress is durable across any number of restarts.
 
-Writes <repo>/PRODUCTION_r03.json with wall time, s/stamp, and
+Writes <repo>/PRODUCTION_r04.json with wall time, s/stamp, and
 blocks/hour/chip when the block completes.
 
 Usage: python scripts/run_production_block.py [--stall-sec 1200]
@@ -31,8 +31,12 @@ import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-WORK = pathlib.Path("/tmp/pyimcom_prod")
+# durable by default (/tmp is wiped on reboot -- it erased the round-3
+# checkpoint); override with PYIMCOM_PROD_DIR
+WORK = pathlib.Path(os.environ.get("PYIMCOM_PROD_DIR",
+                                   str(REPO / ".prod_work")))
 LOG = WORK / "production_block.log"
+ARTIFACT = REPO / "PRODUCTION_r04.json"
 CHILD = r"""
 import json, os, pathlib, sys, time
 import jax
@@ -97,7 +101,7 @@ def write_partial(ckpt, n_restarts):
     drained so far (from the resumable checkpoint) plus a warm s/stamp
     measured from the child log's recent "postage stamp" timestamps, so
     an interrupted production block still yields a durable, honest
-    extrapolation in PRODUCTION_r03.json.
+    extrapolation in the round artifact.
     """
     import re
 
@@ -142,7 +146,7 @@ def write_partial(ckpt, n_restarts):
                  "shape-rung fix were XLA-compile-bound, not steady-state "
                  "(bench --production measured 8.6 s/stamp warm)"),
     }
-    (REPO / "PRODUCTION_r03.json").write_text(json.dumps(result) + "\n")
+    ARTIFACT.write_text(json.dumps(result) + "\n")
     print(json.dumps(result), flush=True)
 
 
@@ -232,7 +236,7 @@ def main():
         "output": str(out_fits),
         "checkpoint_left": ckpt.exists(),
     }
-    (REPO / "PRODUCTION_r03.json").write_text(json.dumps(result) + "\n")
+    ARTIFACT.write_text(json.dumps(result) + "\n")
     print(json.dumps(result), flush=True)
     return 0
 

@@ -109,6 +109,11 @@ def test_noise_report_tarball(mosaic_run):
 
     with tarfile.open(tars[0]) as tf:
         assert len(tf.getnames()) == 4
+    # the datablock records the bundle and its contents
+    blk = sec.datablocks["NOISEPOWER"]
+    assert "TARFILE " + os.path.basename(tars[0]) in blk
+    assert blk.count("BUNDLED ") == 4
+    assert "AVGFILE " in blk
 
 
 def test_full_report_all_sections(mosaic_run):
