@@ -1332,16 +1332,67 @@ class Block:
         r_a = np.asarray(r_a, np.int32)
         r_b = np.asarray(r_b, np.int32)
         live = (r_w1 > 0) & (r_w2 > 0)
-        nq_all = (r_w1 * r_w2)[live]
         maxb = _psfgrp._DENSE_BUCKETS[-1]
-        npc = -(-nq_all // maxb)
-        rect_id = np.repeat(np.flatnonzero(live), npc)
-        first = np.concatenate([[0], np.cumsum(npc)])[:-1].astype(np.int64)
-        p_off = ((np.arange(npc.sum(), dtype=np.int64)
-                  - np.repeat(first, npc)) * maxb).astype(np.int32)
-        p_nval = np.minimum(maxb, (r_w1 * r_w2)[rect_id] - p_off).astype(np.int32)
         buckets_arr = np.asarray(_psfgrp._DENSE_BUCKETS, np.int32)
-        p_bidx = np.searchsorted(buckets_arr, p_nval)
+        use_v2 = os.environ.get("PYIMCOM_SWEEP_V2", "1") == "1"
+        if use_v2:
+            # --- v2 planning: gather-free sweep kernels -------------------
+            # pool rects: chunk columns to <= WQ, cap pieces at (WQ-1)*w2
+            # so one WQ-wide window covers each piece's index spans
+            WQ = assemble.WQ
+            k0 = np.flatnonzero(live & (r_kind == 0))
+            nch = -(-r_w2[k0] // WQ)
+            rid0 = np.repeat(k0, nch)
+            first0 = np.concatenate([[0], np.cumsum(nch)])[:-1]
+            ci = np.arange(int(nch.sum()), dtype=np.int64) \
+                - np.repeat(first0, nch)
+            c0 = ci * WQ
+            w2c = np.minimum(WQ, r_w2[rid0] - c0).astype(np.int64)
+            nq0 = r_w1[rid0].astype(np.int64) * w2c
+            cap = np.minimum(maxb, (WQ - 1) * w2c)
+            npc0 = (-(-nq0 // cap)).astype(np.int64)
+            pid0 = np.repeat(np.arange(len(rid0)), npc0)
+            firstp = np.concatenate([[0], np.cumsum(npc0)])[:-1]
+            po0 = ((np.arange(int(npc0.sum()), dtype=np.int64)
+                    - np.repeat(firstp, npc0))
+                   * np.repeat(cap, npc0)).astype(np.int32)
+            pn0 = np.minimum(np.repeat(cap, npc0),
+                             nq0[pid0] - po0).astype(np.int32)
+            v2_pool = dict(
+                kg=r_kg[rid0][pid0],
+                i1=r_i1[rid0][pid0],
+                i2=(r_i2[rid0] + c0).astype(np.int32)[pid0],
+                w2=w2c.astype(np.int32)[pid0],
+                base=(r_a[rid0] + c0).astype(np.int32)[pid0],
+                stride=r_b[rid0][pid0],
+                off=po0, nval=pn0,
+                bidx=np.searchsorted(buckets_arr, pn0))
+            # B rects: w2 == m always; plain flat chunking
+            k1 = np.flatnonzero(live & (r_kind == 1))
+            nq1 = r_w1[k1].astype(np.int64) * m
+            npc1 = -(-nq1 // maxb)
+            pid1 = np.repeat(np.arange(len(k1)), npc1)
+            first1 = np.concatenate([[0], np.cumsum(npc1)])[:-1]
+            po1 = ((np.arange(int(npc1.sum()), dtype=np.int64)
+                    - np.repeat(first1, npc1)) * maxb).astype(np.int32)
+            pn1 = np.minimum(maxb, nq1[pid1] - po1).astype(np.int32)
+            v2_b = dict(
+                kg=r_kg[k1][pid1],
+                i1=r_i1[k1][pid1],
+                i2=r_i2[k1][pid1],
+                dstb=r_a[k1][pid1],
+                col0=r_b[k1][pid1],
+                off=po1, nval=pn1,
+                bidx=np.searchsorted(buckets_arr, pn1))
+        else:
+            nq_all = (r_w1 * r_w2)[live]
+            npc = -(-nq_all // maxb)
+            rect_id = np.repeat(np.flatnonzero(live), npc)
+            first = np.concatenate([[0], np.cumsum(npc)])[:-1].astype(np.int64)
+            p_off = ((np.arange(npc.sum(), dtype=np.int64)
+                      - np.repeat(first, npc)) * maxb).astype(np.int32)
+            p_nval = np.minimum(maxb, (r_w1 * r_w2)[rect_id] - p_off).astype(np.int32)
+            p_bidx = np.searchsorted(buckets_arr, p_nval)
         _plan.__exit__(None, None, None)
 
         # ---- the fused sweep: ONE compiled scan per bucket size ------------
@@ -1350,9 +1401,20 @@ class Block:
             dt_np = np.dtype(dt)
             combined = self._group_combined_stack(stacks, dt, device)
             L = len(xt)
-            Lp = self._rungs.fit("table", L, _psfgrp._TABLE_PAD)
-            xt_d = put(np.pad(np.asarray(xt, np.float64), (0, Lp - L)))
-            yt_d = put(np.pad(np.asarray(yt, np.float64), (0, Lp - L)))
+            # v2 windows slice past the live region: pad the tables so
+            # i2_base + m, w1_start + WQ and the B-kernel's i1 window
+            # (maxb//m + 2 wide) stay in-bounds -- a clamped dynamic_slice
+            # would silently SHIFT the window
+            pad_req = L + (max(assemble.WQ, m, maxb // max(m, 1) + 2) + 8
+                           if use_v2 else 0)
+            Lp = self._rungs.fit("table", pad_req, _psfgrp._TABLE_PAD)
+            xt_np = np.pad(np.asarray(xt, np.float64), (0, Lp - L))
+            yt_np = np.pad(np.asarray(yt, np.float64), (0, Lp - L))
+            xt_d = put(xt_np)
+            yt_d = put(yt_np)
+            if use_v2:
+                v2_tabs = [put(t) for t in
+                           assemble.split_tables(xt_np, yt_np)]
 
             self._pool_round = getattr(self, "_pool_round", 0) + 1
             pool_holder = {"arr": assemble.zeros_on(max(pool_alloc, 1), dt,
@@ -1360,40 +1422,93 @@ class Block:
                            "device": device,
                            "round": self._pool_round}
             Bflat = assemble.zeros_on(max(len(infos) * nBflat, 1), dt, device)
-            for bidx, bucket in enumerate(_psfgrp._DENSE_BUCKETS):
-                sel = np.flatnonzero(p_bidx == bidx)
-                if not len(sel):
-                    continue
-                rbatch = _psfgrp._DENSE_RBATCH_BY_BUCKET[bucket]
-                NB = _scan_pad(-(-len(sel) // rbatch))
-                tot = NB * rbatch
-                rid = rect_id[sel]
-                ks = np.zeros(tot, np.int32)
-                imeta = np.zeros((tot, 5), np.int32)
-                imeta[:, 2] = 1  # width placeholder for padded rows
-                pmeta = np.zeros((tot, 5), np.int32)
-                bmeta = np.zeros((tot, 4), np.int32)
-                npc_ = len(sel)
-                ks[:npc_] = r_kg[rid]
-                imeta[:npc_] = np.stack(
-                    [r_i1[rid], r_i2[rid], r_w2[rid], p_off[sel],
-                     p_nval[sel]], axis=1)
-                isp = r_kind[rid] == 0
-                pm = pmeta[:npc_]
-                pm[isp] = np.stack(
-                    [r_a[rid][isp], r_w2[rid][isp], r_b[rid][isp],
-                     p_off[sel][isp], p_nval[sel][isp]], axis=1)
-                bm = bmeta[:npc_]
-                bm[~isp] = np.stack(
-                    [r_a[rid][~isp], r_b[rid][~isp], p_off[sel][~isp],
-                     p_nval[sel][~isp]], axis=1)
-                pool_holder["arr"], Bflat = assemble.sweep_scatter_scan(
-                    pool_holder["arr"], Bflat, combined, xt_d, yt_d,
-                    put(ks.reshape(NB, rbatch)),
-                    put(imeta.reshape(NB, rbatch, 5)),
-                    put(pmeta.reshape(NB, rbatch, 5)),
-                    put(bmeta.reshape(NB, rbatch, 4)),
-                    1.0 / geom.dscale, off_grid, bucket, kern, n_pad, m)
+            if use_v2:
+                for bidx, bucket in enumerate(_psfgrp._DENSE_BUCKETS):
+                    rbatch = _psfgrp._DENSE_RBATCH_BY_BUCKET[bucket]
+                    sel = np.flatnonzero(v2_pool["bidx"] == bidx)
+                    if len(sel):
+                        NB = _scan_pad(-(-len(sel) // rbatch))
+                        tot = NB * rbatch
+                        ks = np.zeros(tot, np.int32)
+                        imeta = np.zeros((tot, 5), np.int32)
+                        imeta[:, 2] = 1
+                        pmeta = np.zeros((tot, 5), np.int32)
+                        pmeta[:, 1] = 1
+                        npc_ = len(sel)
+                        ks[:npc_] = v2_pool["kg"][sel]
+                        imeta[:npc_] = np.stack(
+                            [v2_pool["i1"][sel], v2_pool["i2"][sel],
+                             v2_pool["w2"][sel], v2_pool["off"][sel],
+                             v2_pool["nval"][sel]], axis=1)
+                        pmeta[:npc_] = np.stack(
+                            [v2_pool["base"][sel], v2_pool["w2"][sel],
+                             v2_pool["stride"][sel], v2_pool["off"][sel],
+                             v2_pool["nval"][sel]], axis=1)
+                        pool_holder["arr"] = assemble.sweep_pool_scan(
+                            pool_holder["arr"], combined, *v2_tabs,
+                            put(ks.reshape(NB, rbatch)),
+                            put(imeta.reshape(NB, rbatch, 5)),
+                            put(pmeta.reshape(NB, rbatch, 5)),
+                            1.0 / geom.dscale, off_grid, bucket, kern)
+                    sel = np.flatnonzero(v2_b["bidx"] == bidx)
+                    if len(sel):
+                        NB = _scan_pad(-(-len(sel) // rbatch))
+                        tot = NB * rbatch
+                        ks = np.zeros(tot, np.int32)
+                        imeta = np.zeros((tot, 5), np.int32)
+                        imeta[:, 2] = 1
+                        bmeta = np.zeros((tot, 4), np.int32)
+                        npc_ = len(sel)
+                        ks[:npc_] = v2_b["kg"][sel]
+                        imeta[:npc_] = np.stack(
+                            [v2_b["i1"][sel], v2_b["i2"][sel],
+                             np.full(npc_, m, np.int32), v2_b["off"][sel],
+                             v2_b["nval"][sel]], axis=1)
+                        bmeta[:npc_] = np.stack(
+                            [v2_b["dstb"][sel], v2_b["col0"][sel],
+                             v2_b["off"][sel], v2_b["nval"][sel]], axis=1)
+                        Bflat = assemble.sweep_b_scan(
+                            Bflat, combined, xt_d, yt_d,
+                            put(ks.reshape(NB, rbatch)),
+                            put(imeta.reshape(NB, rbatch, 5)),
+                            put(bmeta.reshape(NB, rbatch, 4)),
+                            1.0 / geom.dscale, off_grid, bucket, kern,
+                            n_pad, m)
+            else:
+                for bidx, bucket in enumerate(_psfgrp._DENSE_BUCKETS):
+                    sel = np.flatnonzero(p_bidx == bidx)
+                    if not len(sel):
+                        continue
+                    rbatch = _psfgrp._DENSE_RBATCH_BY_BUCKET[bucket]
+                    NB = _scan_pad(-(-len(sel) // rbatch))
+                    tot = NB * rbatch
+                    rid = rect_id[sel]
+                    ks = np.zeros(tot, np.int32)
+                    imeta = np.zeros((tot, 5), np.int32)
+                    imeta[:, 2] = 1  # width placeholder for padded rows
+                    pmeta = np.zeros((tot, 5), np.int32)
+                    bmeta = np.zeros((tot, 4), np.int32)
+                    npc_ = len(sel)
+                    ks[:npc_] = r_kg[rid]
+                    imeta[:npc_] = np.stack(
+                        [r_i1[rid], r_i2[rid], r_w2[rid], p_off[sel],
+                         p_nval[sel]], axis=1)
+                    isp = r_kind[rid] == 0
+                    pm = pmeta[:npc_]
+                    pm[isp] = np.stack(
+                        [r_a[rid][isp], r_w2[rid][isp], r_b[rid][isp],
+                         p_off[sel][isp], p_nval[sel][isp]], axis=1)
+                    bm = bmeta[:npc_]
+                    bm[~isp] = np.stack(
+                        [r_a[rid][~isp], r_b[rid][~isp], p_off[sel][~isp],
+                         p_nval[sel][~isp]], axis=1)
+                    pool_holder["arr"], Bflat = assemble.sweep_scatter_scan(
+                        pool_holder["arr"], Bflat, combined, xt_d, yt_d,
+                        put(ks.reshape(NB, rbatch)),
+                        put(imeta.reshape(NB, rbatch, 5)),
+                        put(pmeta.reshape(NB, rbatch, 5)),
+                        put(bmeta.reshape(NB, rbatch, 4)),
+                        1.0 / geom.dscale, off_grid, bucket, kern, n_pad, m)
             # flat-field penalty constants over the fresh submatrices
             if fp_rows:
                 R = _scan_pad(len(fp_rows))
@@ -1419,8 +1534,10 @@ class Block:
         S = len(infos)
         solver = self._solver_name()
         with _phase("stamp.assembleA"):
+            mode = self._assembly_mode()
             sel_parts = []
             sel_off = {}     # (s_idx, ji) -> offset into the group selmap
+            slot_off = {}    # (s_idx, ji) -> slot range start in the stamp
             sc = 0
             diag = np.zeros((S, n_pad), dtype=dt_np)
             calls = {}
@@ -1436,13 +1553,20 @@ class Block:
                     else:
                         local[sel] = cumsum[idx] + np.arange(len(sel))
                     sel_off[(s_idx, ji)] = sc
+                    slot_off[(s_idx, ji)] = int(cumsum[idx])
                     sel_parts.append(local)
                     sc += st.n_pix
                 # identity diagonal on PADDED slots only (padding convention)
                 diag[s_idx] = np.arange(n_pad) >= info["n"]
                 dstA_base = s_idx * n_pad * n_pad
-                enq = (self._enqueue_submat_mm if self._use_mm_assembly()
-                       else self._enqueue_submat_rows)
+                if mode == "dus":
+                    def enq(calls_, rec, selo, sidx, _dstA, sym, dev):
+                        self._enqueue_submat_dus(calls_, rec, selo, slot_off,
+                                                 sidx, sym, dev)
+                elif mode == "mm":
+                    enq = self._enqueue_submat_mm
+                else:
+                    enq = self._enqueue_submat_rows
                 for ji in ji_in_s:
                     key = (ji, ji)
                     enq(calls, self._dev_submat[key][devid], sel_off, s_idx,
@@ -1459,8 +1583,21 @@ class Block:
             sel_pad = self._rungs.fit("selmap", len(sel_cat), 1024)
             selmap = put(np.pad(sel_cat, (0, sel_pad - len(sel_cat)),
                                 constant_values=-1))
-            A_flat = assemble.init_A_batch(put(diag), n_pad)
-            if self._use_mm_assembly():
+            if mode == "dus":
+                margin = max([max(k[1], k[2]) for k in calls], default=8)
+                NC = n_pad + margin
+                canvas = assemble.init_A_canvas(put(diag), n_pad, NC)
+                for (hid, n1r, n2r, sym), (holder, rows) in calls.items():
+                    U = self._rungs.fit("mm_uses", len(rows), 4)
+                    uses = np.zeros((U, 7), np.int32)
+                    uses[:len(rows)] = rows
+                    canvas = assemble.pool_to_A_dus(
+                        canvas, holder["arr"], put(uses), selmap,
+                        n1r, n2r, NC, sym)
+                A_flat = assemble.canvas_to_A(canvas, n_pad)
+                del canvas
+            elif mode == "mm":
+                A_flat = assemble.init_A_batch(put(diag), n_pad)
                 for (hid, n1r, n2r, sym), (holder, rows) in calls.items():
                     U = self._rungs.fit("mm_uses", len(rows), 4)
                     uses = np.zeros((U, 5), np.int32)
@@ -1469,6 +1606,7 @@ class Block:
                         A_flat, holder["arr"], put(uses), selmap,
                         n1r, n2r, n_pad, sym)
             else:
+                A_flat = assemble.init_A_batch(put(diag), n_pad)
                 for (hid, sym), (holder, rows) in calls.items():
                     fn = (assemble.pool_to_A_sym if sym
                           else assemble.pool_to_A)
@@ -1677,6 +1815,37 @@ class Block:
         throughput dominated production groups (~12 s/group measured);
         PYIMCOM_A_MM=0 restores the scatter path for A/B comparisons."""
         return os.environ.get("PYIMCOM_A_MM", "1") == "1"
+
+    def _assembly_mode(self):
+        """A-assembly strategy: "dus" (contiguous-block compaction +
+        dynamic-slice add; default), "mm" (selection matmuls into the full
+        stamp matrix), or "scatter" (element scatter).
+
+        PYIMCOM_A_MODE overrides directly; the legacy PYIMCOM_A_MM=0 knob
+        still forces the scatter path."""
+        mode = os.environ.get("PYIMCOM_A_MODE")
+        if mode in ("dus", "mm", "scatter"):
+            return mode
+        if not self._use_mm_assembly():
+            return "scatter"
+        return "dus"
+
+    def _enqueue_submat_dus(self, calls, rec, sel_off, slot_off, s_idx,
+                            sym, device=None):
+        """Append one pool_to_A_dus use row for a submatrix placement."""
+        m1 = sel_off[(s_idx, rec["ji_row"])]
+        m2 = sel_off[(s_idx, rec["ji_col"])]
+        d1 = slot_off[(s_idx, rec["ji_row"])]
+        d2 = slot_off[(s_idx, rec["ji_col"])]
+        holder = rec["holder"]
+        if device is not None and holder["device"] is not device:
+            self._cross_device_puts += 1
+            raise RuntimeError(
+                "cross-device pool reuse slipped through band sharding "
+                f"(pool on {holder['device']}, stamp on {device})")
+        entry = calls.setdefault(
+            (id(holder), rec["n1r"], rec["n2r"], sym), (holder, []))
+        entry[1].append((rec["base"], m1, m2, s_idx, 1, d1, d2))
 
     def _enqueue_submat_mm(self, calls, rec, sel_off, s_idx, dstA_base,
                            sym, device=None):

@@ -174,6 +174,83 @@ def pool_to_A_mm(A, pool, uses, selmap, n1r: int, n2r: int, n_pad: int,
     return A
 
 
+@functools.partial(jax.jit, static_argnames=("n1r", "n2r", "NC", "sym"),
+                   donate_argnums=(0,))
+def pool_to_A_dus(canvas, pool, uses, selmap, n1r: int, n2r: int, NC: int,
+                  sym: bool):
+    """
+    Contiguous-block A assembly: compact + dynamic-slice add.
+
+    The stamp destinations of a submatrix placement are CONTIGUOUS slot
+    ranges (the planner assigns `cumsum + arange` slots per instamp), so
+    instead of :func:`pool_to_A_mm`'s two (n_pad-sized) selection matmuls
+    plus an (n_pad, n_pad) accumulate per use, each use only
+
+      1. compacts the selected rows/cols to the front of an (n1r, n2r)
+         block with two SMALL one-hot matmuls (exact at HIGHEST -- each
+         output element sums one nonzero product), then
+      2. adds the block into a margin-padded canvas at its slot origin
+         with dynamic_update_slice.
+
+    FLOPs per use drop from 2*n1r*n2r*n_pad + 2*n1r*n_pad^2 to
+    2*n1r^2*n2r + 2*n1r*n2r^2 (~27x at production shapes), and the
+    per-use HBM traffic from ~2*n_pad^2 to ~2*n1r*n2r.
+
+    canvas : (S, NC, NC) with NC >= n_pad + max(n1r, n2r); the live A is
+        canvas[:, :n_pad, :n_pad] (:func:`canvas_to_A`); the margin absorbs
+        the block writes of slot ranges near n_pad (their tails are zero).
+    uses : (U, 7) int32 rows [base, m1_off, m2_off, s_idx, valid,
+        dst1, dst2] -- dst = the slot range start of the instamp's rows /
+        cols in this stamp.
+    """
+    r = jnp.arange(n1r, dtype=jnp.int32)
+    c = jnp.arange(n2r, dtype=jnp.int32)
+    L = selmap.shape[0] - 1
+    hi = jax.lax.Precision.HIGHEST
+
+    def body(cv, u):
+        base, m1, m2, s_idx, valid, dst1, dst2 = (
+            u[0], u[1], u[2], u[3], u[4], u[5], u[6])
+        sub = jax.lax.dynamic_slice(
+            pool, (base,), (n1r * n2r,)).reshape(n1r, n2r)
+        t1 = selmap[jnp.minimum(m1 + r, L)] - dst1    # target-relative row
+        t2 = selmap[jnp.minimum(m2 + c, L)] - dst2
+        ohR = (t1[None, :] == r[:, None]).astype(pool.dtype)  # (tgt, src)
+        ohC = (t2[:, None] == c[None, :]).astype(pool.dtype)  # (src, tgt)
+        blk = jnp.dot(jnp.dot(ohR, sub, precision=hi), ohC, precision=hi)
+        blk = blk * valid.astype(pool.dtype)
+        cur = jax.lax.dynamic_slice(cv, (s_idx, dst1, dst2), (1, n1r, n2r))
+        cv = jax.lax.dynamic_update_slice(cv, cur + blk[None],
+                                          (s_idx, dst1, dst2))
+        if sym:
+            curT = jax.lax.dynamic_slice(cv, (s_idx, dst2, dst1),
+                                         (1, n2r, n1r))
+            cv = jax.lax.dynamic_update_slice(cv, curT + blk.T[None],
+                                              (s_idx, dst2, dst1))
+        return cv, None
+
+    canvas, _ = jax.lax.scan(body, canvas, uses)
+    return canvas
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "NC"))
+def init_A_canvas(eye_scales, n_pad: int, NC: int):
+    """Margin-padded canvas for :func:`pool_to_A_dus`: identity diagonal
+    on the padded-slot convention, zero margin."""
+    S = eye_scales.shape[0]
+    cv = jnp.zeros((S, NC, NC), dtype=eye_scales.dtype)
+    i = jnp.arange(n_pad)
+    return cv.at[:, i, i].set(eye_scales)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def canvas_to_A(canvas, n_pad: int):
+    """Extract the live flat A batch from the dus canvas."""
+    S = canvas.shape[0]
+    return jax.lax.slice(canvas, (0, 0, 0),
+                         (S, n_pad, n_pad)).reshape(S * n_pad * n_pad)
+
+
 @functools.partial(jax.jit, static_argnames=("bucket", "n_pad"),
                    donate_argnums=(0,))
 def pool_to_A_sym(A, pool, meta, selmap, bucket: int, n_pad: int):
@@ -253,6 +330,182 @@ def sweep_scatter_scan(pool, Bflat, combined, xt, yt, ks, imeta, pmeta,
     (pool, Bflat), _ = jax.lax.scan(body, (pool, Bflat),
                                     (ks, imeta, pmeta, bmeta))
     return pool, Bflat
+
+
+# ---------------------------------------------------------------------------
+# v2 sweep: gather-free query formation
+# ---------------------------------------------------------------------------
+#
+# Profiled on the v5e at production shapes, the v1 sweep spent ~60% of its
+# time FORMING the query positions: xt[i1]/xt[i2] are f64 gathers over a
+# ~39k-element table at ~100M queries/group, and TPU lowers them far below
+# HBM speed (measured 2.9 s per 192x32-rect scan for ONE table side; the
+# interp weights + MXU matmuls cost ~1.1 s total).  The v2 kernels exploit
+# the *structure* of the index patterns so no big-table gather remains:
+#
+# * pool rectangles (system submatrices): i1/i2 walk CONTIGUOUS runs, so a
+#   256-wide dynamic_slice window covers every index of a piece (the
+#   planner guarantees w2 <= 256 and piece <= 255*w2 queries).  Positions
+#   are split into int cell + an f32 hi/lo PAIR for the fraction, and the
+#   per-query values are selected from the window by one-hot MXU matmuls
+#   -- exact for the int part (cells < 2^24) and exact to the f64 ulp for
+#   the fraction (hi + lo reconstructs the f64 fraction; each one-hot
+#   product selects a single value with no rounding).  Measured 17x
+#   faster than the f64 gather (0.17 s vs 2.9 s per side per group).
+# * B rectangles (selected pixels x output grid): i2 cycles the whole
+#   m-element output grid consecutively and i1 advances every m queries,
+#   so both position streams are pure repeat/tile/slice constructions in
+#   exact f64 -- no selection at all.
+
+WQ = 256          # pool-rect window width (planner caps w2 and piece size)
+
+
+def _win_tables(tabs, start):
+    """(WQ, 6) f32 window [x_int, x_hi, x_lo, y_int, y_hi, y_lo]."""
+    xt_i, xt_f, xt_l, yt_i, yt_f, yt_l = tabs
+    return jnp.stack(
+        [jax.lax.dynamic_slice(xt_i, (start,), (WQ,)).astype(jnp.float32),
+         jax.lax.dynamic_slice(xt_f, (start,), (WQ,)),
+         jax.lax.dynamic_slice(xt_l, (start,), (WQ,)),
+         jax.lax.dynamic_slice(yt_i, (start,), (WQ,)).astype(jnp.float32),
+         jax.lax.dynamic_slice(yt_f, (start,), (WQ,)),
+         jax.lax.dynamic_slice(yt_l, (start,), (WQ,))], axis=1)
+
+
+def split_tables(xt_np, yt_np):
+    """Host-side split of f64 coordinate tables into the v2 sweep's
+    [int32 cell, f32 fraction hi, f32 fraction lo] representation;
+    int + (f64(hi) + f64(lo)) reconstructs the f64 position exactly to
+    the ulp (|frac| < 1 so hi carries 24 bits, lo the next 24 -- more
+    than the 52-bit mantissa of a sub-unit f64)."""
+    import numpy as np
+
+    out = []
+    for t in (xt_np, yt_np):
+        fl = np.floor(t)
+        fr = t - fl
+        hi = fr.astype(np.float32)
+        lo = (fr - hi.astype(np.float64)).astype(np.float32)
+        out += [fl.astype(np.int32), hi, lo]
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bucket", "kern"),
+                   donate_argnums=(0,))
+def sweep_pool_scan(pool, combined, xt_i, xt_f, xt_l, yt_i, yt_f, yt_l,
+                    ks, imeta, pmeta, inv_scale, off_grid, bucket: int,
+                    kern: str):
+    """
+    v2 fused sweep over POOL rectangles (same metadata contract as
+    :func:`sweep_scatter_scan`'s imeta/pmeta, kind-0 rows only).
+
+    Planner guarantees per piece: w2 <= WQ, and the index spans
+    (off+nval-1)//w2 - off//w2 < WQ (piece size <= (WQ-1)*w2), so one
+    WQ-wide window per side covers every query of the piece.
+    """
+    from .interp import interp2d_dense
+
+    j = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+    a = jnp.arange(WQ, dtype=jnp.int32)
+    hi = jax.lax.Precision.HIGHEST
+
+    def queries(im_b):
+        def one(row):
+            i1b, i2b, w2, off, nval = row[0], row[1], row[2], row[3], row[4]
+            w2 = jnp.maximum(w2, 1)
+            w1s = i1b + off // w2
+            ph = off % w2
+            tabs = (xt_i, xt_f, xt_l, yt_i, yt_f, yt_l)
+            T1 = _win_tables(tabs, w1s)
+            T2 = _win_tables(tabs, i2b)
+            idx1 = (ph + j[0]) // w2 - ph // w2   # window-relative row
+            idx2 = (ph + j[0]) % w2
+            oh1 = (idx1[:, None] == a[None, :]).astype(jnp.float32)
+            oh2 = (idx2[:, None] == a[None, :]).astype(jnp.float32)
+            s1 = jnp.dot(oh1, T1, precision=hi)          # (bucket, 6)
+            s2 = jnp.dot(oh2, T2, precision=hi)
+            d = s1.astype(jnp.float64) - s2.astype(jnp.float64)
+            dx = d[:, 0] + (d[:, 1] + d[:, 2])
+            dy = d[:, 3] + (d[:, 4] + d[:, 5])
+            valid = j[0] < nval
+            qx = jnp.where(valid, dx * inv_scale + off_grid, -100.0)
+            qy = jnp.where(valid, dy * inv_scale + off_grid, -100.0)
+            return qx, qy
+        return jax.vmap(one)(im_b)
+
+    def body(pool_, xs):
+        ks_b, im_b, pm_b = xs
+        qx, qy = queries(im_b)
+        imgs = combined[ks_b]
+        vals = interp2d_dense(imgs, qx, qy, kern)
+        f = pm_b[:, 3:4] + j
+        w2 = jnp.maximum(pm_b[:, 1:2], 1)
+        dst = pm_b[:, 0:1] + (f // w2) * pm_b[:, 2:3] + f % w2
+        dst = jnp.where(j < pm_b[:, 4:5], dst, _BIG)
+        pool_ = pool_.at[dst.ravel()].add(vals.ravel(), mode="drop")
+        return pool_, None
+
+    pool, _ = jax.lax.scan(body, pool, (ks, imeta, pmeta))
+    return pool
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bucket", "kern", "n_pad", "m"),
+                   donate_argnums=(0,))
+def sweep_b_scan(Bflat, combined, xt, yt, ks, imeta, bmeta, inv_scale,
+                 off_grid, bucket: int, kern: str, n_pad: int, m: int):
+    """
+    v2 fused sweep over B rectangles (selected pixels x output grid).
+
+    Every B rect has w2 == m (the full output grid): i2 cycles
+    i2_base..i2_base+m-1 and i1 advances once per cycle, so the position
+    streams are exact-f64 repeat/tile/slice constructions -- zero gathers.
+    imeta rows: [i1_base, i2_base, m, off, nval].
+    """
+    from .interp import interp2d_dense
+
+    j = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+    RW = bucket // m + 2                       # i1 values touched per piece
+    reps = (bucket + m - 1) // m + 1
+
+    def queries(im_b):
+        def one(row):
+            i1b, i2b, off, nval = row[0], row[1], row[3], row[4]
+            w1s = i1b + off // m
+            ph = off % m
+            x1w = jax.lax.dynamic_slice(xt, (w1s,), (RW,))
+            y1w = jax.lax.dynamic_slice(yt, (w1s,), (RW,))
+            x2w = jax.lax.dynamic_slice(xt, (i2b,), (m,))
+            y2w = jax.lax.dynamic_slice(yt, (i2b,), (m,))
+            # seq1[t] = x1w[t // m]; seq2[t] = x2w[t % m]
+            seq_x1 = jnp.repeat(x1w, m, total_repeat_length=RW * m)
+            seq_y1 = jnp.repeat(y1w, m, total_repeat_length=RW * m)
+            seq_x2 = jnp.tile(x2w, reps)
+            seq_y2 = jnp.tile(y2w, reps)
+            x1 = jax.lax.dynamic_slice(seq_x1, (ph,), (bucket,))
+            y1 = jax.lax.dynamic_slice(seq_y1, (ph,), (bucket,))
+            x2 = jax.lax.dynamic_slice(seq_x2, (ph,), (bucket,))
+            y2 = jax.lax.dynamic_slice(seq_y2, (ph,), (bucket,))
+            valid = j[0] < nval
+            qx = jnp.where(valid, (x1 - x2) * inv_scale + off_grid, -100.0)
+            qy = jnp.where(valid, (y1 - y2) * inv_scale + off_grid, -100.0)
+            return qx, qy
+        return jax.vmap(one)(im_b)
+
+    def body(B_, xs):
+        ks_b, im_b, bm_b = xs
+        qx, qy = queries(im_b)
+        imgs = combined[ks_b]
+        vals = interp2d_dense(imgs, qx, qy, kern)
+        fb = bm_b[:, 2:3] + j
+        dstb = bm_b[:, 0:1] + (fb % m) * n_pad + bm_b[:, 1:2] + fb // m
+        dstb = jnp.where(j < bm_b[:, 3:4], dstb, _BIG)
+        B_ = B_.at[dstb.ravel()].add(vals.ravel(), mode="drop")
+        return B_, None
+
+    Bflat, _ = jax.lax.scan(body, Bflat, (ks, imeta, bmeta))
+    return Bflat
 
 
 SOLVE_MAP_N = 2048   # above this n_pad, batch solves sequentially (lax.map)

@@ -149,6 +149,28 @@ def main():
     out["pool_to_A_mm_TFLOP"] = round(fl, 2)
     out["pool_to_A_mm_TFLOPs"] = round(fl / t, 2)
 
+    # dus path: compaction matmuls stay (nsub, nsub); the write is a
+    # dynamic-slice add into a margin-padded canvas
+    uses_dus = np.zeros((uses, 7), np.int32)
+    for u in range(uses):
+        uses_dus[u] = ((u % K) * nsub * nsub, (u % 9) * nsub,
+                       ((u * 5 + 3) % 9) * nsub, u % S, 1,
+                       (u % 9) * nsel, ((u * 5 + 3) % 9) * nsel)
+    uses_dus_d = jnp.asarray(uses_dus)
+    NC = n + nsub
+
+    def run_pool_to_A_dus(pool_, uses_, sel_):
+        cv = assemble.init_A_canvas(diag, n, NC)
+        cv = assemble.pool_to_A_dus(cv, pool_, uses_, sel_,
+                                    nsub, nsub, NC, True)
+        return assemble.canvas_to_A(cv, n)
+
+    t = bench(run_pool_to_A_dus, pool, uses_dus_d, selmap)
+    fl = uses * 2 * (2 * nsub * nsub * nsub) / 1e12
+    out["pool_to_A_dus_s"] = round(t, 4)
+    out["pool_to_A_dus_TFLOP"] = round(fl, 2)
+    out["pool_to_A_dus_TFLOPs"] = round(fl / t, 2)
+
     # ---- sweep matmuls: the banded-weight dense interpolation -------------
     # one (n, L) @ (L, L) @ (L, n) chain per key at HIGHEST precision
     W1 = jnp.asarray(rng.standard_normal((n, L)).astype(np.float32))

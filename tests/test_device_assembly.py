@@ -132,6 +132,52 @@ def test_pool_to_A_mm_matches_scatter():
                                wsym, rtol=0, atol=1e-6)
 
 
+def test_pool_to_A_dus_matches_mm():
+    """The contiguous-block (compact + dynamic-slice add) assembly equals
+    the selection-matmul assembly on the same pool/selmap, for both
+    symmetric and plain placements, with the margin canvas extracted back
+    to the flat A batch."""
+    rng = np.random.default_rng(7)
+    n1s, n2s = 37, 53
+    n1r, n2r = 40, 56
+    S, n_pad = 3, 64
+    base = n1r * n2r
+    pool_np = np.zeros(2 * n1r * n2r, np.float32)
+    sub = rng.standard_normal((n1s, n2s)).astype(np.float32)
+    blk = np.zeros((n1r, n2r), np.float32)
+    blk[:n1s, :n2s] = sub
+    pool_np[base:base + n1r * n2r] = blk.ravel()
+    pool = jnp.asarray(pool_np)
+
+    # planner contract: selected pixels map to CONTIGUOUS slot ranges
+    sel1 = np.full(n1s, -1, np.int32)
+    sel1[::2] = np.arange((n1s + 1) // 2)          # dst range starts at 0
+    sel2 = np.full(n2s, -1, np.int32)
+    sel2[-20:] = 10 + np.arange(20)                # dst range starts at 10
+    m1_off, m2_off = 0, n1r
+    selc = np.full(n1r + n2r + 8, -1, np.int32)
+    selc[m1_off:m1_off + n1s] = sel1
+    selc[m2_off:m2_off + n2s] = sel2
+    selmap = jnp.asarray(selc)
+
+    diag = jnp.asarray(rng.standard_normal((S, n_pad)).astype(np.float32))
+    NC = n_pad + max(n1r, n2r)
+    for sym in (False, True):
+        uses_mm = np.zeros((4, 5), np.int32)
+        uses_mm[1] = (base, m1_off, m2_off, 2, 1)
+        A_mm = assemble.pool_to_A_mm(
+            assemble.init_A_batch(diag, n_pad), pool,
+            jnp.asarray(uses_mm), selmap, n1r, n2r, n_pad, sym)
+        uses_dus = np.zeros((4, 7), np.int32)
+        uses_dus[1] = (base, m1_off, m2_off, 2, 1, 0, 10)
+        cv = assemble.init_A_canvas(diag, n_pad, NC)
+        cv = assemble.pool_to_A_dus(cv, pool, jnp.asarray(uses_dus), selmap,
+                                    n1r, n2r, NC, sym)
+        A_dus = assemble.canvas_to_A(cv, n_pad)
+        np.testing.assert_allclose(np.asarray(A_dus), np.asarray(A_mm),
+                                   rtol=0, atol=1e-6)
+
+
 def test_scatter_B_matches_numpy():
     rng = np.random.default_rng(1)
     n_out, m, n_pad = 2, 9, 32
@@ -155,6 +201,89 @@ def test_scatter_B_matches_numpy():
                                CH, n_pad, m)
     np.testing.assert_allclose(np.asarray(B).reshape(n_out, m, n_pad), want,
                                rtol=0, atol=1e-14)
+
+
+def test_sweep_v2_kernels_match_v1():
+    """sweep_pool_scan / sweep_b_scan (gather-free query formation) produce
+    the same pool / B contents as sweep_scatter_scan on identical rect
+    metadata (the pool path's int + f32-hi/lo one-hot selection
+    reconstructs the f64 query positions to the ulp)."""
+    rng = np.random.default_rng(3)
+    K, W = 5, 64
+    L, m, n_pad = 400, 25, 48
+    combined = jnp.asarray(rng.standard_normal((K, W, W)).astype(np.float32))
+    xt_np = rng.uniform(5, 20, L)
+    yt_np = rng.uniform(5, 20, L)
+    pad = 300
+    xt_np = np.pad(xt_np, (0, pad))
+    yt_np = np.pad(yt_np, (0, pad))
+    xt, yt = jnp.asarray(xt_np), jnp.asarray(yt_np)
+    inv_scale, off_grid = 2.0, 32.0
+    bucket, NB, R = 64, 3, 4
+
+    # one pool rect (w1=9, w2=11 -> 99 queries over two pieces) and one
+    # B rect (w1=6, w2=m)
+    P = 512
+    pool_rect = (2, 40, 120, 9, 11, 17, 13)   # kg,i1,i2,w1,w2,base,stride
+    b_rect = (4, 200, 300, 6)                 # kg,i1,i2,w1
+    ks = np.zeros((NB, R), np.int32)
+    imeta = np.zeros((NB, R, 5), np.int32)
+    imeta[..., 2] = 1
+    pmeta = np.zeros((NB, R, 5), np.int32)
+    pmeta[..., 1] = 1
+    bmeta = np.zeros((NB, R, 4), np.int32)
+    # v1 layout: rows mix kinds
+    kg, i1, i2, w1, w2, base, stride = pool_rect
+    nq = w1 * w2
+    rows = [(kg, i1, i2, w2, off, min(bucket, nq - off), base, stride, 0)
+            for off in range(0, nq, bucket)]
+    kgb, i1b, i2b, w1b = b_rect
+    nqb = w1b * m
+    rows += [(kgb, i1b, i2b, m, off, min(bucket, nqb - off), 0, 3, 1)
+             for off in range(0, nqb, bucket)]
+    assert len(rows) <= NB * R
+    for j, (kg_, i1_, i2_, w2_, off, nval, a_, b_, kind) in enumerate(rows):
+        nb, r = divmod(j, R)
+        ks[nb, r] = kg_
+        imeta[nb, r] = (i1_, i2_, w2_, off, nval)
+        if kind == 0:
+            pmeta[nb, r] = (a_, w2_, b_, off, nval)
+        else:
+            bmeta[nb, r] = (a_, b_, off, nval)
+    pool1, B1 = assemble.sweep_scatter_scan(
+        jnp.zeros(P, jnp.float32), jnp.zeros(1 * m * n_pad, jnp.float32),
+        combined, xt, yt, jnp.asarray(ks), jnp.asarray(imeta),
+        jnp.asarray(pmeta), jnp.asarray(bmeta),
+        inv_scale, off_grid, bucket, "D5512", n_pad, m)
+
+    # v2: same metadata, kind-segregated
+    pm2 = pmeta.copy()
+    im_p = imeta.copy()
+    im_b = imeta.copy()
+    bm2 = bmeta.copy()
+    for j in range(NB * R):
+        nb, r = divmod(j, R)
+        is_pool = j < len(rows) and rows[j][8] == 0
+        is_b = j < len(rows) and rows[j][8] == 1
+        if not is_pool:
+            im_p[nb, r] = (0, 0, 1, 0, 0)
+            pm2[nb, r] = (0, 1, 1, 0, 0)
+        if not is_b:
+            im_b[nb, r] = (0, 0, 1, 0, 0)
+            bm2[nb, r] = (0, 0, 0, 0)
+    tabs = [jnp.asarray(t) for t in assemble.split_tables(xt_np, yt_np)]
+    pool2 = assemble.sweep_pool_scan(
+        jnp.zeros(P, jnp.float32), combined, *tabs,
+        jnp.asarray(ks), jnp.asarray(im_p), jnp.asarray(pm2),
+        inv_scale, off_grid, bucket, "D5512")
+    B2 = assemble.sweep_b_scan(
+        jnp.zeros(1 * m * n_pad, jnp.float32), combined, xt, yt,
+        jnp.asarray(ks), jnp.asarray(im_b), jnp.asarray(bm2),
+        inv_scale, off_grid, bucket, "D5512", n_pad, m)
+    np.testing.assert_allclose(np.asarray(B2), np.asarray(B1),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pool2), np.asarray(pool1),
+                               rtol=0, atol=1e-11)
 
 
 @pytest.fixture(scope="module")
