@@ -142,9 +142,43 @@ def write_partial(ckpt, n_restarts):
         "checkpoint": str(ckpt),
         "unit": ("2560^2-px production block (6400 stamps) on one chip; "
                  "resumable from checkpoint"),
-        "note": ("median stamp-gap over the log tail; segments before the "
-                 "shape-rung fix were XLA-compile-bound, not steady-state "
-                 "(bench --production measured 8.6 s/stamp warm)"),
+        "note": ("median stamp-gap over the log tail of the final restart "
+                 "segment (r4 defaults: gather-free v2 sweep kernels + "
+                 "block-compaction dus A assembly, MICROBENCH_r04.json)"),
+    }
+    ARTIFACT.write_text(json.dumps(result) + "\n")
+    print(json.dumps(result), flush=True)
+
+
+def write_complete(out_fits, ckpt, n_restarts):
+    """
+    Record a COMPLETED block from the child log's own wall clock.
+
+    The child prints ``CHILD_DONE wall=<sec>`` when Block() returns; sum
+    one wall per completed segment (restart segments re-zero the clock,
+    so total on-chip wall = final segment's wall + any earlier partial
+    segments' last stamp time, which the resumable checkpoint folds in).
+    Used by the normal watchdog exit and by --finalize-only (a run whose
+    watchdog died but whose detached child finished).
+    """
+    import re
+
+    text = LOG.read_text(errors="replace")
+    walls = [float(m.group(1))
+             for m in re.finditer(r"CHILD_DONE wall=([0-9.]+)", text)]
+    wall = walls[-1] if walls else float("nan")
+    n_stamps = 80 * 80
+    result = {
+        "metric": "production_block_wall_hours",
+        "value": round(wall / 3600.0, 3),
+        "unit": (f"hours for one 2560^2-px block (6400 stamps, INPAD "
+                 f"1.055\") on one chip; {wall / n_stamps:.2f} s/stamp; "
+                 f"{n_restarts} tunnel restarts"),
+        "blocks_per_hour_per_chip": round(3600.0 / wall, 4),
+        "s_per_stamp": round(wall / n_stamps, 3),
+        "restarts": n_restarts,
+        "output": str(out_fits),
+        "checkpoint_left": ckpt.exists(),
     }
     ARTIFACT.write_text(json.dumps(result) + "\n")
     print(json.dumps(result), flush=True)
@@ -156,10 +190,24 @@ def main():
                     help="restart the child if the log is static this long")
     ap.add_argument("--max-hours", type=float, default=11.0)
     ap.add_argument("--ckpt-sec", type=int, default=300)
+    ap.add_argument("--finalize-only", action="store_true",
+                    help="write the round artifact from the existing log + "
+                         "checkpoint without launching a child (use after "
+                         "a detached child outlived its watchdog)")
     args = ap.parse_args()
 
     assert (WORK / "cfg.json").exists(), \
         "run 'python bench.py --production' once first to build the survey"
+
+    if args.finalize_only:
+        out_fits = WORK / "out" / "testout_F_full_00_01.fits"
+        ckpt = WORK / "out" / "testout_F_full_00_01.ckpt.npz"
+        if out_fits.exists() and "CHILD_DONE" in LOG.read_text(
+                errors="replace"):
+            write_complete(out_fits, ckpt, n_restarts=0)
+        else:
+            write_partial(ckpt, n_restarts=0)
+        return 0
 
     env = dict(os.environ)
     env.update({
