@@ -59,3 +59,47 @@ def test_writejob_emits_runnable_stage_commands(tmp_path):
     assert "python -m pyimcom_tpu.splitpsf.imsubtract" in text
     assert "print('configure" not in text
     assert "--array=1-18" in text
+
+
+def test_production_artifact_writers(tmp_path, monkeypatch):
+    """write_partial / write_complete parse the child log + checkpoint.
+
+    Guards the round artifact the driver records (PRODUCTION_r*.json):
+    the warm rate must come from the FINAL restart segment only (child
+    clocks reset at restart), and a completed run must report the child's
+    own CHILD_DONE wall, not the watchdog's (which includes tunnel waits).
+    """
+    import json
+
+    import run_production_block as rpb
+
+    log = tmp_path / "production_block.log"
+    art = tmp_path / "PRODUCTION_test.json"
+    monkeypatch.setattr(rpb, "LOG", log)
+    monkeypatch.setattr(rpb, "ARTIFACT", art)
+
+    # two segments: a stale fast pre-restart segment, then the real one
+    log.write_text(
+        "postage stamp  1, 1  t=      1.00 s\n"
+        "postage stamp  2, 1  t=      1.50 s\n"   # stale 0.5 s/group gap
+        "postage stamp  1, 1  t=     10.00 s\n"   # clock reset = restart
+        "postage stamp  2, 1  t=     14.00 s\n"
+        "postage stamp  3, 1  t=     18.00 s\n"
+        "postage stamp  4, 1  t=     22.00 s\n")  # 4 s/group warm
+    ckpt = tmp_path / "ckpt.npz"
+    np.savez(ckpt, groups_done=100, n_groups=1600, nrun=6400)
+
+    rpb.write_partial(ckpt, n_restarts=1)
+    got = json.loads(art.read_text())
+    assert got["partial"] is True
+    assert got["groups_done"] == 100 and got["n_groups"] == 1600
+    assert got["warm_s_per_stamp"] == 1.0          # 4 s/group / 4 stamps
+    assert got["extrapolated_block_hours"] == round(4.0 * 1600 / 3600, 2)
+    assert got["restarts"] == 1
+
+    log.write_text(log.read_text() + "CHILD_DONE wall=6400.0\n")
+    rpb.write_complete(tmp_path / "out.fits", ckpt, n_restarts=1)
+    got = json.loads(art.read_text())
+    assert got["metric"] == "production_block_wall_hours"
+    assert got["s_per_stamp"] == 1.0               # 6400 s / 6400 stamps
+    assert got["blocks_per_hour_per_chip"] == round(3600 / 6400.0, 4)
