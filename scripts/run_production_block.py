@@ -95,6 +95,28 @@ def launch(env):
     return p, f
 
 
+def _quality_medians():
+    """
+    Median leakage U/C and noise Sigma over every per-stamp quality print
+    in the child log ("sqUC,sqSig medians | <sqrt(U/C)> <sqrt(Sigma)>",
+    the same accounting line the reference block log carries).  Returns
+    {} when the log has none yet.
+    """
+    import re
+
+    import numpy as np
+
+    vals = [(float(m.group(1)), float(m.group(2))) for m in re.finditer(
+        r"sqUC,sqSig medians \| ([0-9.E+-]+) ([0-9.E+-]+)",
+        LOG.read_text(errors="replace"))]
+    if not vals:
+        return {}
+    squc = np.median([v[0] for v in vals])
+    sqsig = np.median([v[1] for v in vals])
+    return {"UC_median": float(f"{squc ** 2:.3g}"),
+            "Sigma_median": float(f"{sqsig ** 2:.3g}")}
+
+
 def write_partial(ckpt, n_restarts):
     """
     Record partial progress when the run is paused by max-hours: groups
@@ -146,6 +168,7 @@ def write_partial(ckpt, n_restarts):
                  "segment (r4 defaults: gather-free v2 sweep kernels + "
                  "block-compaction dus A assembly, MICROBENCH_r04.json)"),
     }
+    result.update(_quality_medians())
     ARTIFACT.write_text(json.dumps(result) + "\n")
     print(json.dumps(result), flush=True)
 
@@ -180,6 +203,7 @@ def write_complete(out_fits, ckpt, n_restarts):
         "output": str(out_fits),
         "checkpoint_left": ckpt.exists(),
     }
+    result.update(_quality_medians())
     ARTIFACT.write_text(json.dumps(result) + "\n")
     print(json.dumps(result), flush=True)
 

@@ -103,3 +103,25 @@ def test_production_artifact_writers(tmp_path, monkeypatch):
     assert got["metric"] == "production_block_wall_hours"
     assert got["s_per_stamp"] == 1.0               # 6400 s / 6400 stamps
     assert got["blocks_per_hour_per_chip"] == round(3600 / 6400.0, 4)
+
+
+def test_production_artifact_quality_medians(tmp_path, monkeypatch):
+    """Quality medians ride the artifact: UC = median(sqUC)^2 etc."""
+    import json
+
+    import run_production_block as rpb
+
+    log = tmp_path / "production_block.log"
+    art = tmp_path / "PRODUCTION_test.json"
+    monkeypatch.setattr(rpb, "LOG", log)
+    monkeypatch.setattr(rpb, "ARTIFACT", art)
+    log.write_text(
+        "  sqUC,sqSig medians | 4.00E-04 5.00E-01\n"
+        "  sqUC,sqSig medians | 6.00E-04 5.00E-01\n"
+        "  sqUC,sqSig medians | 5.00E-04 5.00E-01\n"
+        "CHILD_DONE wall=6400.0\n")
+    rpb.write_complete(tmp_path / "out.fits",
+                       tmp_path / "missing.npz", n_restarts=0)
+    got = json.loads(art.read_text())
+    assert got["UC_median"] == 2.5e-7          # (5e-4)^2
+    assert got["Sigma_median"] == 0.25         # (5e-1)^2
