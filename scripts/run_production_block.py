@@ -42,7 +42,11 @@ import json, os, pathlib, sys, time
 import jax
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", sys.argv[2])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# persist EVERY executable: the relay's compile service can degrade to
+# minutes per program mid-run, and any compile not in the cache then
+# becomes a watchdog-visible stall; a compile that finished once must
+# never be repeated
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 sys.path.insert(0, sys.argv[3])
 from pyimcom_tpu.config import Config
 from pyimcom_tpu.coadd import Block
@@ -173,36 +177,82 @@ def write_partial(ckpt, n_restarts):
     print(json.dumps(result), flush=True)
 
 
-def write_complete(out_fits, ckpt, n_restarts):
+def _segment_walls():
     """
-    Record a COMPLETED block from the child log's own wall clock.
+    Per-child-segment on-chip wall seconds, from the appended log.
 
-    The child prints ``CHILD_DONE wall=<sec>`` when Block() returns; sum
-    one wall per completed segment (restart segments re-zero the clock,
-    so total on-chip wall = final segment's wall + any earlier partial
-    segments' last stamp time, which the resumable checkpoint folds in).
-    Used by the normal watchdog exit and by --finalize-only (a run whose
-    watchdog died but whose detached child finished).
+    Each child prints ``backend: <name>`` once at startup and timestamps
+    every stamp group with its OWN clock (``postage stamp r,c  t= <s> s``),
+    then ``CHILD_DONE wall=<s>`` on a clean finish.  The log is opened in
+    append mode across every restart and every watchdog invocation, so
+    summing each segment's final timestamp gives the TRUE total on-chip
+    wall for the block, including segments whose watchdog died.
     """
     import re
 
+    walls = []
+    for seg in LOG.read_text(errors="replace").split("backend: ")[1:]:
+        done = re.findall(r"CHILD_DONE wall=([0-9.]+)", seg)
+        if done:
+            walls.append(float(done[-1]))
+            continue
+        ts = re.findall(r"t=\s*([0-9.]+) s", seg)
+        walls.append(float(ts[-1]) if ts else 0.0)
+    return walls
+
+
+def _outage_wall():
+    """
+    Total wall including tunnel hangs: every segment opens with a
+    timestamped jax WARNING banner, and the final segment closes with
+    CHILD_DONE, so (last CHILD_DONE time ~ file mtime) - first banner
+    time spans launches, hangs, watchdog kills, and resume replays.
+    Returns seconds, or None when no banner is parseable.
+    """
+    import datetime
+    import re
+
     text = LOG.read_text(errors="replace")
-    walls = [float(m.group(1))
-             for m in re.finditer(r"CHILD_DONE wall=([0-9.]+)", text)]
-    wall = walls[-1] if walls else float("nan")
+    stamps = re.findall(
+        r"WARNING:(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})", text)
+    if not stamps:
+        return None
+    t0 = datetime.datetime.strptime(stamps[0], "%Y-%m-%d %H:%M:%S")
+    t1 = datetime.datetime.fromtimestamp(LOG.stat().st_mtime)
+    return max(0.0, (t1 - t0).total_seconds())
+
+
+def write_complete(out_fits, ckpt, n_restarts, prior_wall=0.0):
+    """
+    Record a COMPLETED block with the true accumulated on-chip wall.
+
+    Total wall = sum of every log segment's final timestamp (see
+    _segment_walls) + ``prior_wall`` for any invocations whose log was
+    lost.  Used by the normal watchdog exit and by --finalize-only (a run
+    whose watchdog died but whose detached child finished).
+    """
+    walls = _segment_walls()
+    wall = sum(walls) + prior_wall
     n_stamps = 80 * 80
     result = {
         "metric": "production_block_wall_hours",
         "value": round(wall / 3600.0, 3),
         "unit": (f"hours for one 2560^2-px block (6400 stamps, INPAD "
                  f"1.055\") on one chip; {wall / n_stamps:.2f} s/stamp; "
-                 f"{n_restarts} tunnel restarts"),
+                 f"{len(walls)} child segments (tunnel restarts)"),
         "blocks_per_hour_per_chip": round(3600.0 / wall, 4),
         "s_per_stamp": round(wall / n_stamps, 3),
         "restarts": n_restarts,
+        "segment_walls_s": [round(w, 1) for w in walls],
         "output": str(out_fits),
         "checkpoint_left": ckpt.exists(),
     }
+    outage = _outage_wall()
+    if outage is not None:
+        # launch-to-finish span including tunnel hangs, watchdog kills,
+        # and checkpoint-resume replays (the environment's cost, not the
+        # framework's; the headline value is productive on-chip wall)
+        result["wall_including_outages_hours"] = round(outage / 3600.0, 3)
     result.update(_quality_medians())
     ARTIFACT.write_text(json.dumps(result) + "\n")
     print(json.dumps(result), flush=True)
@@ -214,6 +264,11 @@ def main():
                     help="restart the child if the log is static this long")
     ap.add_argument("--max-hours", type=float, default=11.0)
     ap.add_argument("--ckpt-sec", type=int, default=300)
+    ap.add_argument("--prior-wall-sec", type=float, default=0.0,
+                    help="on-chip wall seconds already spent on this block "
+                         "by earlier watchdog invocations (checkpoint "
+                         "resumes); added to the completion artifact so "
+                         "multi-invocation runs report the TRUE total")
     ap.add_argument("--finalize-only", action="store_true",
                     help="write the round artifact from the existing log + "
                          "checkpoint without launching a child (use after "
@@ -228,7 +283,8 @@ def main():
         ckpt = WORK / "out" / "testout_F_full_00_01.ckpt.npz"
         if out_fits.exists() and "CHILD_DONE" in LOG.read_text(
                 errors="replace"):
-            write_complete(out_fits, ckpt, n_restarts=0)
+            write_complete(out_fits, ckpt, n_restarts=0,
+                           prior_wall=args.prior_wall_sec)
         else:
             write_partial(ckpt, n_restarts=0)
         return 0
@@ -294,22 +350,8 @@ def main():
                   f"-> restart (#{n_restarts})", flush=True)
         time.sleep(10)
 
-    wall = time.time() - t_start
-    n_stamps = 80 * 80
-    result = {
-        "metric": "production_block_wall_hours",
-        "value": round(wall / 3600.0, 3),
-        "unit": (f"hours for one 2560^2-px block (6400 stamps, INPAD "
-                 f"1.055\") on one chip; {wall / n_stamps:.2f} s/stamp; "
-                 f"{n_restarts} tunnel restarts"),
-        "blocks_per_hour_per_chip": round(3600.0 / wall, 4),
-        "s_per_stamp": round(wall / n_stamps, 3),
-        "restarts": n_restarts,
-        "output": str(out_fits),
-        "checkpoint_left": ckpt.exists(),
-    }
-    ARTIFACT.write_text(json.dumps(result) + "\n")
-    print(json.dumps(result), flush=True)
+    write_complete(out_fits, ckpt, n_restarts,
+                   prior_wall=args.prior_wall_sec)
     return 0
 
 

@@ -480,3 +480,52 @@ def test_place_stack_matches_concatenate():
     got = np.asarray(buf)
     assert np.array_equal(got[:off], ref)
     assert np.all(got[off:] == 0.0)
+
+
+@pytest.mark.slow
+def test_checkpoint_kill_and_resume(small_survey, monkeypatch):
+    """
+    Crash a block mid-coadd (after 2 checkpointed groups), then rerun the
+    same block: it must resume from the durable .ckpt.npz (skipping the
+    completed scan-order prefix), finish, remove the snapshot, and produce
+    the SAME maps as an uninterrupted run.  This is the production
+    watchdog's recovery path (scripts/run_production_block.py) -- the
+    reference's analog is rerunning an idempotent Slurm block job
+    (reference examples/multiblock_paper4.pl:24-28), which restarts from
+    zero; here the prefix is not recomputed.
+    """
+    import os
+
+    from pyimcom_tpu.coadd import Block
+
+    tmp, cfg_dict = small_survey
+    ref = _run(cfg_dict, "_ckref", 0, monkeypatch, device=True)
+
+    monkeypatch.setenv("PYIMCOM_CHECKPOINT", "1")
+    monkeypatch.setenv("PYIMCOM_CKPT_SEC", "0")   # snapshot every group
+
+    class Boom(Exception):
+        pass
+
+    orig = Block._maybe_ckpt
+    n_saves = {"n": 0}
+
+    def dying(self, force=False):
+        orig(self, force)
+        n_saves["n"] += 1
+        if n_saves["n"] == 2:
+            raise Boom("simulated SIGKILL")
+
+    monkeypatch.setattr(Block, "_maybe_ckpt", dying)
+    with pytest.raises(Boom):
+        _run(cfg_dict, "_ckres", 0, monkeypatch, device=True)
+    monkeypatch.setattr(Block, "_maybe_ckpt", orig)
+
+    ckpt = cfg_dict["OUT"] + "_ckres_00_01.ckpt.npz"
+    assert os.path.exists(ckpt), "crash must leave the snapshot behind"
+    z = np.load(ckpt)
+    assert int(z["groups_done"]) >= 1
+
+    out = _run(cfg_dict, "_ckres", 0, monkeypatch, device=True)
+    assert not os.path.exists(ckpt), "finished block removes the snapshot"
+    _compare_outputs(ref, out, atol_sci=1e-11)
