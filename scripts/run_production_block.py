@@ -36,7 +36,7 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 WORK = pathlib.Path(os.environ.get("PYIMCOM_PROD_DIR",
                                    str(REPO / ".prod_work")))
 LOG = WORK / "production_block.log"
-ARTIFACT = REPO / "PRODUCTION_r04.json"
+ARTIFACT = REPO / "PRODUCTION_r05.json"
 CHILD = r"""
 import json, os, pathlib, sys, time
 import jax
@@ -187,11 +187,20 @@ def _segment_walls():
     append mode across every restart and every watchdog invocation, so
     summing each segment's final timestamp gives the TRUE total on-chip
     wall for the block, including segments whose watchdog died.
+
+    A log with no ``backend:`` markers (lost/truncated by an outage, or a
+    hand-assembled finalize-only log) is treated as ONE segment so the
+    writer still produces an artifact instead of dividing by zero; in
+    that degenerate case a trailing ``CHILD_DONE wall=`` (the child's own
+    authoritative total) wins over intermediate stamp timestamps.
     """
     import re
 
+    text = LOG.read_text(errors="replace")
+    parts = text.split("backend: ")
+    segments = parts[1:] if len(parts) > 1 else [text]
     walls = []
-    for seg in LOG.read_text(errors="replace").split("backend: ")[1:]:
+    for seg in segments:
         done = re.findall(r"CHILD_DONE wall=([0-9.]+)", seg)
         if done:
             walls.append(float(done[-1]))
@@ -240,7 +249,8 @@ def write_complete(out_fits, ckpt, n_restarts, prior_wall=0.0):
         "unit": (f"hours for one 2560^2-px block (6400 stamps, INPAD "
                  f"1.055\") on one chip; {wall / n_stamps:.2f} s/stamp; "
                  f"{len(walls)} child segments (tunnel restarts)"),
-        "blocks_per_hour_per_chip": round(3600.0 / wall, 4),
+        "blocks_per_hour_per_chip": (round(3600.0 / wall, 4)
+                                     if wall > 0 else None),
         "s_per_stamp": round(wall / n_stamps, 3),
         "restarts": n_restarts,
         "segment_walls_s": [round(w, 1) for w in walls],

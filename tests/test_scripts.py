@@ -125,3 +125,37 @@ def test_production_artifact_quality_medians(tmp_path, monkeypatch):
     got = json.loads(art.read_text())
     assert got["UC_median"] == 2.5e-7          # (5e-4)^2
     assert got["Sigma_median"] == 0.25         # (5e-1)^2
+
+
+def test_production_finalize_survives_truncated_log(tmp_path, monkeypatch):
+    """A finalize-only pass over a lost/truncated log must still write an
+    artifact instead of crashing (regression: ZeroDivisionError when the
+    log carried no ``backend:`` markers and no timestamps at all)."""
+    import json
+
+    import run_production_block as rpb
+
+    log = tmp_path / "production_block.log"
+    art = tmp_path / "PRODUCTION_test.json"
+    monkeypatch.setattr(rpb, "LOG", log)
+    monkeypatch.setattr(rpb, "ARTIFACT", art)
+
+    # worst case: an empty log (watchdog died before the child printed)
+    log.write_text("")
+    rpb.write_complete(tmp_path / "out.fits",
+                       tmp_path / "missing.npz", n_restarts=0)
+    got = json.loads(art.read_text())
+    assert got["metric"] == "production_block_wall_hours"
+    assert got["blocks_per_hour_per_chip"] is None      # honest: wall unknown
+    assert got["value"] == 0.0
+
+    # truncated mid-run: no backend marker, but stamp clocks survive;
+    # prior_wall from earlier invocations must be added in
+    log.write_text("postage stamp  1, 1  t=     10.00 s\n"
+                   "postage stamp  2, 1  t=     50.00 s\n")
+    rpb.write_complete(tmp_path / "out.fits", tmp_path / "missing.npz",
+                       n_restarts=1, prior_wall=3150.0)
+    got = json.loads(art.read_text())
+    assert got["value"] == round(3200.0 / 3600.0, 3)
+    assert got["s_per_stamp"] == 0.5                    # 3200 s / 6400
+    assert got["blocks_per_hour_per_chip"] == round(3600.0 / 3200.0, 4)
