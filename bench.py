@@ -344,10 +344,26 @@ def main():
             cpu_note = "16-stamp extrapolation from 4+8-stamp runs"
         SL1c, uc_medc = quality_check(
             cfg_dict["OUT"] + f"_cpu_{ibx:02d}_{iby:02d}.fits")
-        if not args.full:
+        # pin the denominator with provenance; a measured full block is
+        # never overwritten by a later 4+8-stamp extrapolation
+        prior = None
+        if _cpu_cache_path().exists():
+            try:
+                prior = json.loads(_cpu_cache_path().read_text())
+            except (OSError, json.JSONDecodeError):
+                prior = None
+        keep_prior = (not args.full and prior is not None
+                      and prior.get("fixture_key") == fixture_key
+                      and prior.get("cpu_note") == "full block")
+        if not keep_prior:
+            import datetime
+            import platform as _plat
+
             _cpu_cache_path().write_text(json.dumps(
                 {"fixture_key": fixture_key, "t_block_cpu": t_block_cpu,
-                 "cpu_note": cpu_note, "SL1": SL1c, "uc_med": uc_medc}))
+                 "cpu_note": cpu_note, "SL1": SL1c, "uc_med": uc_medc,
+                 "host": _plat.node(), "nproc": os.cpu_count(),
+                 "date": datetime.date.today().isoformat()}))
         if dt is None:
             SL1, uc_med = SL1c, uc_medc
 
