@@ -201,6 +201,49 @@ def main():
               1e-6, 0.5)
     out["solve_mixed_s_per_stamp"] = round(t, 4)
 
+    # ---- link/dispatch overhead probes -------------------------------------
+    # Per-program dispatch cost over the relay: (a) serial -- dispatch one
+    # trivial program and force completion; (b) pipelined -- enqueue 32
+    # trivial programs then force one completion.  The difference between
+    # (a) and (b)/32 is the latency jax's async dispatch hides; (b)/32 is
+    # the FLOOR a production group pays per enqueued program even when
+    # perfectly pipelined (a group enqueues ~20-60 programs).
+    tiny = jnp.zeros(128, jnp.float32)
+
+    @jax.jit
+    def bump(v):
+        return v + 1.0
+
+    sync(bump(tiny))  # compile
+    t0 = time.perf_counter()
+    for _ in range(8):
+        sync(bump(tiny))
+    out["dispatch_serial_s"] = round((time.perf_counter() - t0) / 8, 5)
+    t0 = time.perf_counter()
+    v = tiny
+    for _ in range(32):
+        v = bump(v)
+    sync(v)
+    out["dispatch_pipelined_s"] = round((time.perf_counter() - t0) / 32, 5)
+
+    # Small-transfer cost: a KB-scale device_put (scan metadata row block)
+    small = np.zeros((1024,), np.int32)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        sync(jnp.asarray(small))
+    out["device_put_4KB_s"] = round((time.perf_counter() - t0) / 8, 5)
+
+    # Whether device_put of the full group tables BLOCKS the host: enqueue
+    # the upload and return immediately vs force completion.  A large gap
+    # means uploads already overlap compute (the host is free); parity
+    # means the host stalls for the full transfer.
+    t0 = time.perf_counter()
+    h1 = jnp.asarray(tbl)
+    h2 = jnp.asarray(meta)
+    out["upload_enqueue_s"] = round(time.perf_counter() - t0, 4)
+    sync((h1, h2))
+    out["upload_total_s"] = round(time.perf_counter() - t0, 4)
+
     print(json.dumps(out), flush=True)
 
 
