@@ -40,6 +40,16 @@ def main():
     ap.add_argument("--n-obs", type=int, default=8)
     ap.add_argument("--maxiter", type=int, default=5,
                     help="destripe CG iterations")
+    ap.add_argument("--n1", type=int, default=8,
+                    help="stamps per block side (production blocks use 80)")
+    ap.add_argument("--npixpsf", type=int, default=48,
+                    help="PSF postage size (production 48; shrink for a "
+                         "CPU shakedown)")
+    ap.add_argument("--inpad", type=float, default=1.055)
+    ap.add_argument("--artifact", default=str(ARTIFACT),
+                    help="where to write the JSON artifact (point a CPU "
+                         "shakedown at /tmp so it cannot shadow the real "
+                         "on-chip record)")
     args = ap.parse_args()
 
     import jax
@@ -79,10 +89,10 @@ def main():
         cfg_dict = build_survey(work, n_obs=args.n_obs,
                                 extrainput=["cstar14", "whitenoise1"],
                                 config_overrides={
-                                    "OUTSIZE": [8, 32, 0.0390625],
+                                    "OUTSIZE": [args.n1, 32, 0.0390625],
                                     "PAD": 1,
-                                    "INPAD": 1.055,
-                                    "NPIXPSF": 48,
+                                    "INPAD": args.inpad,
+                                    "NPIXPSF": args.npixpsf,
                                     "STOP": 0})
         # inject detector row stripes so the destripe stage has real work
         rng = np.random.default_rng(99)
@@ -182,8 +192,9 @@ def main():
     result = {
         "metric": "chained_pipeline_wall_s",
         "value": round(sum(stages.values()), 1),
-        "unit": (f"destripe->coadd(2x2 blocks, production stamp geometry)"
-                 f"->halo->compress->report on {backend}"),
+        "unit": (f"destripe->coadd(2x2 blocks of {args.n1}x{args.n1} "
+                 f"32px-stamps, NPIXPSF {args.npixpsf}, INPAD "
+                 f"{args.inpad}\")->halo->compress->report on {backend}"),
         "stages_s": stages,
         "backend": backend,
         "star_SL1": round(SL1, 6),
@@ -191,7 +202,7 @@ def main():
         "UC_median": float(f"{uc_med:.3g}"),
         "report_pdf": pdf,
     }
-    ARTIFACT.write_text(json.dumps(result) + "\n")
+    pathlib.Path(args.artifact).write_text(json.dumps(result) + "\n")
     print(json.dumps(result), flush=True)
 
 
