@@ -233,6 +233,19 @@ def main():
         sync(jnp.asarray(small))
     out["device_put_4KB_s"] = round((time.perf_counter() - t0) / 8, 5)
 
+    # Batched vs sequential puts: a production group uploads ~50 small
+    # arrays; if one device_put(pytree) call costs much less than N
+    # sequential calls, batching the group's uploads into one call hides
+    # the per-call relay round trip.
+    small16 = [np.full(1024, i, np.int32) for i in range(16)]
+    t0 = time.perf_counter()
+    for a in small16:
+        sync(jnp.asarray(a))
+    out["puts_16_sequential_s"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    sync(jax.device_put(small16))
+    out["puts_16_pytree_s"] = round(time.perf_counter() - t0, 4)
+
     # Whether device_put of the full group tables BLOCKS the host: enqueue
     # the upload and return immediately vs force completion.  A large gap
     # means uploads already overlap compute (the host is free); parity
