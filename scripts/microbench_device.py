@@ -73,6 +73,10 @@ def main():
 
     import jax
     jax.config.update("jax_enable_x64", True)
+    repo = __file__.rsplit("/", 2)[0] or "."
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir", repo + "/.jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -87,6 +91,7 @@ def main():
     meta = rng.integers(0, 1 << 20, size=(300_000, 7), dtype=np.int32)
     t = bench(lambda a, b: (jnp.asarray(a), jnp.asarray(b)), tbl, meta)
     out["upload_s"] = round(t, 4)
+    print("[mb]", "upload_s", out.get("upload_s"), flush=True)
 
     # ---- A assembly: scatter vs selection-matmul at production shapes -----
     # A production group: ~45 fresh submatrices of ~(nsub, nsub) each
@@ -127,8 +132,11 @@ def main():
         t = bench(run_pool_to_A, pool, meta_d, selmap)
         gel = uses * nsub * nsub / 1e9
         out["pool_to_A_s"] = round(t, 4)
+        print("[mb]", "pool_to_A_s", out.get("pool_to_A_s"), flush=True)
         out["pool_to_A_Gelem"] = round(gel, 3)
+        print("[mb]", "pool_to_A_Gelem", out.get("pool_to_A_Gelem"), flush=True)
         out["pool_to_A_Geps"] = round(gel / t, 3)
+        print("[mb]", "pool_to_A_Geps", out.get("pool_to_A_Geps"), flush=True)
 
     # matmul path: one use row per placement (sym covers the off-diagonal
     # double write; time the sym variant, the more expensive one)
@@ -146,8 +154,11 @@ def main():
     t = bench(run_pool_to_A_mm, pool, uses_d, selmap)
     fl = uses * 2 * (nsub * nsub * n + n * n * nsub) / 1e12
     out["pool_to_A_mm_s"] = round(t, 4)
+    print("[mb]", "pool_to_A_mm_s", out.get("pool_to_A_mm_s"), flush=True)
     out["pool_to_A_mm_TFLOP"] = round(fl, 2)
+    print("[mb]", "pool_to_A_mm_TFLOP", out.get("pool_to_A_mm_TFLOP"), flush=True)
     out["pool_to_A_mm_TFLOPs"] = round(fl / t, 2)
+    print("[mb]", "pool_to_A_mm_TFLOPs", out.get("pool_to_A_mm_TFLOPs"), flush=True)
 
     # dus path: compaction matmuls stay (nsub, nsub); the write is a
     # dynamic-slice add into a margin-padded canvas
@@ -168,8 +179,11 @@ def main():
     t = bench(run_pool_to_A_dus, pool, uses_dus_d, selmap)
     fl = uses * 2 * (2 * nsub * nsub * nsub) / 1e12
     out["pool_to_A_dus_s"] = round(t, 4)
+    print("[mb]", "pool_to_A_dus_s", out.get("pool_to_A_dus_s"), flush=True)
     out["pool_to_A_dus_TFLOP"] = round(fl, 2)
+    print("[mb]", "pool_to_A_dus_TFLOP", out.get("pool_to_A_dus_TFLOP"), flush=True)
     out["pool_to_A_dus_TFLOPs"] = round(fl / t, 2)
+    print("[mb]", "pool_to_A_dus_TFLOPs", out.get("pool_to_A_dus_TFLOPs"), flush=True)
 
     # ---- sweep matmuls: the banded-weight dense interpolation -------------
     # one (n, L) @ (L, L) @ (L, n) chain per key at HIGHEST precision
@@ -189,6 +203,7 @@ def main():
 
     t = bench(sweep_chain, W1, Sm, W2)
     out["sweep_matmul_s"] = round(t, 4)
+    print("[mb]", "sweep_matmul_s", out.get("sweep_matmul_s"), flush=True)
 
     # ---- solve: mixed-precision Cholesky at production n ------------------
     from pyimcom_tpu.solvers import cholesky_solve_mixed
@@ -200,6 +215,7 @@ def main():
               jnp.asarray(B), jnp.ones(1), jnp.asarray([5e-4]),
               1e-6, 0.5)
     out["solve_mixed_s_per_stamp"] = round(t, 4)
+    print("[mb]", "solve_mixed_s_per_stamp", out.get("solve_mixed_s_per_stamp"), flush=True)
 
     # ---- link/dispatch overhead probes -------------------------------------
     # Per-program dispatch cost over the relay: (a) serial -- dispatch one
@@ -219,12 +235,14 @@ def main():
     for _ in range(8):
         sync(bump(tiny))
     out["dispatch_serial_s"] = round((time.perf_counter() - t0) / 8, 5)
+    print("[mb]", "dispatch_serial_s", out.get("dispatch_serial_s"), flush=True)
     t0 = time.perf_counter()
     v = tiny
     for _ in range(32):
         v = bump(v)
     sync(v)
     out["dispatch_pipelined_s"] = round((time.perf_counter() - t0) / 32, 5)
+    print("[mb]", "dispatch_pipelined_s", out.get("dispatch_pipelined_s"), flush=True)
 
     # Small-transfer cost: a KB-scale device_put (scan metadata row block)
     small = np.zeros((1024,), np.int32)
@@ -232,6 +250,7 @@ def main():
     for _ in range(8):
         sync(jnp.asarray(small))
     out["device_put_4KB_s"] = round((time.perf_counter() - t0) / 8, 5)
+    print("[mb]", "device_put_4KB_s", out.get("device_put_4KB_s"), flush=True)
 
     # Batched vs sequential puts: a production group uploads ~50 small
     # arrays; if one device_put(pytree) call costs much less than N
@@ -242,9 +261,11 @@ def main():
     for a in small16:
         sync(jnp.asarray(a))
     out["puts_16_sequential_s"] = round(time.perf_counter() - t0, 4)
+    print("[mb]", "puts_16_sequential_s", out.get("puts_16_sequential_s"), flush=True)
     t0 = time.perf_counter()
     sync(jax.device_put(small16))
     out["puts_16_pytree_s"] = round(time.perf_counter() - t0, 4)
+    print("[mb]", "puts_16_pytree_s", out.get("puts_16_pytree_s"), flush=True)
 
     # Whether device_put of the full group tables BLOCKS the host: enqueue
     # the upload and return immediately vs force completion.  A large gap
@@ -254,8 +275,10 @@ def main():
     h1 = jnp.asarray(tbl)
     h2 = jnp.asarray(meta)
     out["upload_enqueue_s"] = round(time.perf_counter() - t0, 4)
+    print("[mb]", "upload_enqueue_s", out.get("upload_enqueue_s"), flush=True)
     sync((h1, h2))
     out["upload_total_s"] = round(time.perf_counter() - t0, 4)
+    print("[mb]", "upload_total_s", out.get("upload_total_s"), flush=True)
 
     print(json.dumps(out), flush=True)
 
