@@ -1135,11 +1135,6 @@ class Block:
 
         from .ops import assemble
 
-        def put(x):
-            x = np.asarray(x)
-            return (jax.device_put(x, device) if device is not None
-                    else jnp.asarray(x))
-
         cfg = self.cfg
         geom = self.geom
         n_out, n2f, n2 = cfg.n_out, cfg.n2f, cfg.n2
@@ -1395,273 +1390,358 @@ class Block:
             p_bidx = np.searchsorted(buckets_arr, p_nval)
         _plan.__exit__(None, None, None)
 
-        # ---- the fused sweep: ONE compiled scan per bucket size ------------
-        off_grid = geom.nc_ovl + _psfgrp.INTERP_PAD
-        with _phase("stamp.scatter"):
-            dt_np = np.dtype(dt)
-            combined = self._group_combined_stack(stacks, dt, device)
-            L = len(xt)
-            # v2 windows slice past the live region: pad the tables so
-            # i2_base + m, w1_start + WQ and the B-kernel's i1 window
-            # (maxb//m + 2 wide) stay in-bounds -- a clamped dynamic_slice
-            # would silently SHIFT the window
-            pad_req = L + (max(assemble.WQ, m, maxb // max(m, 1) + 2) + 8
-                           if use_v2 else 0)
-            Lp = self._rungs.fit("table", pad_req, _psfgrp._TABLE_PAD)
-            xt_np = np.pad(np.asarray(xt, np.float64), (0, Lp - L))
-            yt_np = np.pad(np.asarray(yt, np.float64), (0, Lp - L))
-            xt_d = put(xt_np)
-            yt_d = put(yt_np)
-            if use_v2:
-                v2_tabs = [put(t) for t in
-                           assemble.split_tables(xt_np, yt_np)]
+        # ---- stage every host->device array of this group ------------------
+        # Each jax.device_put is a separate RPC over the relay backend
+        # (MICROBENCH_r05.json: ~30-150 ms per call serial on the host
+        # thread vs ~2 ms/array batched as one pytree).  A production group
+        # uploads 30-45 small arrays, so the whole group's tables/metadata
+        # are staged host-side first and shipped in ONE batched device_put,
+        # then the compute dispatches read the resolved handles.
+        staged = []
 
-            self._pool_round = getattr(self, "_pool_round", 0) + 1
-            pool_holder = {"arr": assemble.zeros_on(max(pool_alloc, 1), dt,
-                                                    device),
-                           "device": device,
-                           "round": self._pool_round}
-            Bflat = assemble.zeros_on(max(len(infos) * nBflat, 1), dt, device)
-            if use_v2:
-                for bidx, bucket in enumerate(_psfgrp._DENSE_BUCKETS):
-                    rbatch = _psfgrp._DENSE_RBATCH_BY_BUCKET[bucket]
-                    sel = np.flatnonzero(v2_pool["bidx"] == bidx)
-                    if len(sel):
-                        NB = _scan_pad(-(-len(sel) // rbatch))
-                        tot = NB * rbatch
-                        ks = np.zeros(tot, np.int32)
-                        imeta = np.zeros((tot, 5), np.int32)
-                        imeta[:, 2] = 1
-                        pmeta = np.zeros((tot, 5), np.int32)
-                        pmeta[:, 1] = 1
-                        npc_ = len(sel)
-                        ks[:npc_] = v2_pool["kg"][sel]
-                        imeta[:npc_] = np.stack(
-                            [v2_pool["i1"][sel], v2_pool["i2"][sel],
-                             v2_pool["w2"][sel], v2_pool["off"][sel],
-                             v2_pool["nval"][sel]], axis=1)
-                        pmeta[:npc_] = np.stack(
-                            [v2_pool["base"][sel], v2_pool["w2"][sel],
-                             v2_pool["stride"][sel], v2_pool["off"][sel],
-                             v2_pool["nval"][sel]], axis=1)
-                        pool_holder["arr"] = assemble.sweep_pool_scan(
-                            pool_holder["arr"], combined, *v2_tabs,
-                            put(ks.reshape(NB, rbatch)),
-                            put(imeta.reshape(NB, rbatch, 5)),
-                            put(pmeta.reshape(NB, rbatch, 5)),
-                            1.0 / geom.dscale, off_grid, bucket, kern)
-                    sel = np.flatnonzero(v2_b["bidx"] == bidx)
-                    if len(sel):
-                        NB = _scan_pad(-(-len(sel) // rbatch))
-                        tot = NB * rbatch
-                        ks = np.zeros(tot, np.int32)
-                        imeta = np.zeros((tot, 5), np.int32)
-                        imeta[:, 2] = 1
-                        bmeta = np.zeros((tot, 4), np.int32)
-                        npc_ = len(sel)
-                        ks[:npc_] = v2_b["kg"][sel]
-                        imeta[:npc_] = np.stack(
-                            [v2_b["i1"][sel], v2_b["i2"][sel],
-                             np.full(npc_, m, np.int32), v2_b["off"][sel],
-                             v2_b["nval"][sel]], axis=1)
-                        bmeta[:npc_] = np.stack(
-                            [v2_b["dstb"][sel], v2_b["col0"][sel],
-                             v2_b["off"][sel], v2_b["nval"][sel]], axis=1)
-                        Bflat = assemble.sweep_b_scan(
-                            Bflat, combined, xt_d, yt_d,
-                            put(ks.reshape(NB, rbatch)),
-                            put(imeta.reshape(NB, rbatch, 5)),
-                            put(bmeta.reshape(NB, rbatch, 4)),
-                            1.0 / geom.dscale, off_grid, bucket, kern,
-                            n_pad, m)
-            else:
-                for bidx, bucket in enumerate(_psfgrp._DENSE_BUCKETS):
-                    sel = np.flatnonzero(p_bidx == bidx)
-                    if not len(sel):
-                        continue
-                    rbatch = _psfgrp._DENSE_RBATCH_BY_BUCKET[bucket]
+        def stage(x):
+            staged.append(np.asarray(x))
+            return len(staged) - 1
+
+        off_grid = geom.nc_ovl + _psfgrp.INTERP_PAD
+        dt_np = np.dtype(dt)
+        _plan2 = _phase("stamp.plan")
+        _plan2.__enter__()
+        L = len(xt)
+        # v2 windows slice past the live region: pad the tables so
+        # i2_base + m, w1_start + WQ and the B-kernel's i1 window
+        # (maxb//m + 2 wide) stay in-bounds -- a clamped dynamic_slice
+        # would silently SHIFT the window
+        pad_req = L + (max(assemble.WQ, m, maxb // max(m, 1) + 2) + 8
+                       if use_v2 else 0)
+        Lp = self._rungs.fit("table", pad_req, _psfgrp._TABLE_PAD)
+        xt_np = np.pad(np.asarray(xt, np.float64), (0, Lp - L))
+        yt_np = np.pad(np.asarray(yt, np.float64), (0, Lp - L))
+        i_xt = stage(xt_np)
+        i_yt = stage(yt_np)
+        if use_v2:
+            i_v2tabs = [stage(t) for t in assemble.split_tables(xt_np, yt_np)]
+
+        sweep_plan = []   # ("pool"|"b", bucket, idx...) / ("v1", ...)
+        if use_v2:
+            for bidx, bucket in enumerate(_psfgrp._DENSE_BUCKETS):
+                rbatch = _psfgrp._DENSE_RBATCH_BY_BUCKET[bucket]
+                sel = np.flatnonzero(v2_pool["bidx"] == bidx)
+                if len(sel):
                     NB = _scan_pad(-(-len(sel) // rbatch))
                     tot = NB * rbatch
-                    rid = rect_id[sel]
                     ks = np.zeros(tot, np.int32)
                     imeta = np.zeros((tot, 5), np.int32)
-                    imeta[:, 2] = 1  # width placeholder for padded rows
+                    imeta[:, 2] = 1
                     pmeta = np.zeros((tot, 5), np.int32)
+                    pmeta[:, 1] = 1
+                    npc_ = len(sel)
+                    ks[:npc_] = v2_pool["kg"][sel]
+                    imeta[:npc_] = np.stack(
+                        [v2_pool["i1"][sel], v2_pool["i2"][sel],
+                         v2_pool["w2"][sel], v2_pool["off"][sel],
+                         v2_pool["nval"][sel]], axis=1)
+                    pmeta[:npc_] = np.stack(
+                        [v2_pool["base"][sel], v2_pool["w2"][sel],
+                         v2_pool["stride"][sel], v2_pool["off"][sel],
+                         v2_pool["nval"][sel]], axis=1)
+                    sweep_plan.append(
+                        ("pool", bucket,
+                         stage(ks.reshape(NB, rbatch)),
+                         stage(imeta.reshape(NB, rbatch, 5)),
+                         stage(pmeta.reshape(NB, rbatch, 5))))
+                sel = np.flatnonzero(v2_b["bidx"] == bidx)
+                if len(sel):
+                    NB = _scan_pad(-(-len(sel) // rbatch))
+                    tot = NB * rbatch
+                    ks = np.zeros(tot, np.int32)
+                    imeta = np.zeros((tot, 5), np.int32)
+                    imeta[:, 2] = 1
                     bmeta = np.zeros((tot, 4), np.int32)
                     npc_ = len(sel)
-                    ks[:npc_] = r_kg[rid]
+                    ks[:npc_] = v2_b["kg"][sel]
                     imeta[:npc_] = np.stack(
-                        [r_i1[rid], r_i2[rid], r_w2[rid], p_off[sel],
-                         p_nval[sel]], axis=1)
-                    isp = r_kind[rid] == 0
-                    pm = pmeta[:npc_]
-                    pm[isp] = np.stack(
-                        [r_a[rid][isp], r_w2[rid][isp], r_b[rid][isp],
-                         p_off[sel][isp], p_nval[sel][isp]], axis=1)
-                    bm = bmeta[:npc_]
-                    bm[~isp] = np.stack(
-                        [r_a[rid][~isp], r_b[rid][~isp], p_off[sel][~isp],
-                         p_nval[sel][~isp]], axis=1)
-                    pool_holder["arr"], Bflat = assemble.sweep_scatter_scan(
-                        pool_holder["arr"], Bflat, combined, xt_d, yt_d,
-                        put(ks.reshape(NB, rbatch)),
-                        put(imeta.reshape(NB, rbatch, 5)),
-                        put(pmeta.reshape(NB, rbatch, 5)),
-                        put(bmeta.reshape(NB, rbatch, 4)),
-                        1.0 / geom.dscale, off_grid, bucket, kern, n_pad, m)
-            # flat-field penalty constants over the fresh submatrices
-            if fp_rows:
-                R = _scan_pad(len(fp_rows))
-                meta = np.zeros((R, 5), np.int32)
-                consts = np.zeros(R, np.float64)
-                meta[:len(fp_rows)] = [mrow for mrow, _c in fp_rows]
-                consts[:len(fp_rows)] = [c for _m, c in fp_rows]
-                pool_holder["arr"] = assemble.scatter_pool_constant(
-                    pool_holder["arr"], put(consts.astype(dt_np)),
-                    put(meta), CH)
-            _sync((pool_holder["arr"], Bflat))
+                        [v2_b["i1"][sel], v2_b["i2"][sel],
+                         np.full(npc_, m, np.int32), v2_b["off"][sel],
+                         v2_b["nval"][sel]], axis=1)
+                    bmeta[:npc_] = np.stack(
+                        [v2_b["dstb"][sel], v2_b["col0"][sel],
+                         v2_b["off"][sel], v2_b["nval"][sel]], axis=1)
+                    sweep_plan.append(
+                        ("b", bucket,
+                         stage(ks.reshape(NB, rbatch)),
+                         stage(imeta.reshape(NB, rbatch, 5)),
+                         stage(bmeta.reshape(NB, rbatch, 4))))
+        else:
+            for bidx, bucket in enumerate(_psfgrp._DENSE_BUCKETS):
+                sel = np.flatnonzero(p_bidx == bidx)
+                if not len(sel):
+                    continue
+                rbatch = _psfgrp._DENSE_RBATCH_BY_BUCKET[bucket]
+                NB = _scan_pad(-(-len(sel) // rbatch))
+                tot = NB * rbatch
+                rid = rect_id[sel]
+                ks = np.zeros(tot, np.int32)
+                imeta = np.zeros((tot, 5), np.int32)
+                imeta[:, 2] = 1  # width placeholder for padded rows
+                pmeta = np.zeros((tot, 5), np.int32)
+                bmeta = np.zeros((tot, 4), np.int32)
+                npc_ = len(sel)
+                ks[:npc_] = r_kg[rid]
+                imeta[:npc_] = np.stack(
+                    [r_i1[rid], r_i2[rid], r_w2[rid], p_off[sel],
+                     p_nval[sel]], axis=1)
+                isp = r_kind[rid] == 0
+                pm = pmeta[:npc_]
+                pm[isp] = np.stack(
+                    [r_a[rid][isp], r_w2[rid][isp], r_b[rid][isp],
+                     p_off[sel][isp], p_nval[sel][isp]], axis=1)
+                bm = bmeta[:npc_]
+                bm[~isp] = np.stack(
+                    [r_a[rid][~isp], r_b[rid][~isp], p_off[sel][~isp],
+                     p_nval[sel][~isp]], axis=1)
+                sweep_plan.append(
+                    ("v1", bucket,
+                     stage(ks.reshape(NB, rbatch)),
+                     stage(imeta.reshape(NB, rbatch, 5)),
+                     stage(pmeta.reshape(NB, rbatch, 5)),
+                     stage(bmeta.reshape(NB, rbatch, 4))))
+        # flat-field penalty constants over the fresh submatrices
+        fp_plan = None
+        if fp_rows:
+            R = _scan_pad(len(fp_rows))
+            meta = np.zeros((R, 5), np.int32)
+            consts = np.zeros(R, np.float64)
+            meta[:len(fp_rows)] = [mrow for mrow, _c in fp_rows]
+            consts[:len(fp_rows)] = [c for _m, c in fp_rows]
+            fp_plan = (stage(consts.astype(dt_np)), stage(meta))
 
-        # register fresh submatrices; release their overlap-stack references
+        # register fresh submatrices now -- bookkeeping only; the pool array
+        # itself is created at dispatch time and the overlap-stack
+        # references are released only after the sweep has dispatched
+        self._pool_round = getattr(self, "_pool_round", 0) + 1
+        pool_holder = {"arr": None, "device": device,
+                       "round": self._pool_round}
         for key, (base, n1s, n2s, n1r, n2r, jA, jB, okey, seam) in \
                 fresh.items():
             self._dev_submat.setdefault(key, {})[devid] = dict(
                 holder=pool_holder, base=base, n1=n1s, n2=n2s,
                 n1r=n1r, n2r=n2r, ji_row=jA, ji_col=jB)
             self._submat_computed.add(key)
-            self._release_ii_overlap(*okey)
 
-        # ---- group A assembly: one scatter call per (pool, symmetry) -------
+        # ---- group A assembly plan: one call per (pool, rung, symmetry) ----
         S = len(infos)
         solver = self._solver_name()
-        with _phase("stamp.assembleA"):
-            mode = self._assembly_mode()
-            sel_parts = []
-            sel_off = {}     # (s_idx, ji) -> offset into the group selmap
-            slot_off = {}    # (s_idx, ji) -> slot range start in the stamp
-            sc = 0
-            diag = np.zeros((S, n_pad), dtype=dt_np)
-            calls = {}
-            for s_idx, (j_st, i_st, info) in enumerate(infos):
-                ji_in_s = info["ji_in_s"]
-                counts, cumsum = info["counts"], info["cumsum"]
-                for idx, ji in enumerate(ji_in_s):
-                    st = self.instamps[ji]
-                    local = np.full(st.n_pix, -1, dtype=np.int32)
-                    sel = info["sels"][idx]
-                    if sel is None:
-                        local[:] = cumsum[idx] + np.arange(counts[idx])
-                    else:
-                        local[sel] = cumsum[idx] + np.arange(len(sel))
-                    sel_off[(s_idx, ji)] = sc
-                    slot_off[(s_idx, ji)] = int(cumsum[idx])
-                    sel_parts.append(local)
-                    sc += st.n_pix
-                # identity diagonal on PADDED slots only (padding convention)
-                diag[s_idx] = np.arange(n_pad) >= info["n"]
-                dstA_base = s_idx * n_pad * n_pad
-                if mode == "dus":
-                    def enq(calls_, rec, selo, sidx, _dstA, sym, dev):
-                        self._enqueue_submat_dus(calls_, rec, selo, slot_off,
-                                                 sidx, sym, dev)
-                elif mode == "mm":
-                    enq = self._enqueue_submat_mm
+        mode = self._assembly_mode()
+        sel_parts = []
+        sel_off = {}     # (s_idx, ji) -> offset into the group selmap
+        slot_off = {}    # (s_idx, ji) -> slot range start in the stamp
+        sc = 0
+        diag = np.zeros((S, n_pad), dtype=dt_np)
+        calls = {}
+        for s_idx, (j_st, i_st, info) in enumerate(infos):
+            ji_in_s = info["ji_in_s"]
+            counts, cumsum = info["counts"], info["cumsum"]
+            for idx, ji in enumerate(ji_in_s):
+                st = self.instamps[ji]
+                local = np.full(st.n_pix, -1, dtype=np.int32)
+                sel = info["sels"][idx]
+                if sel is None:
+                    local[:] = cumsum[idx] + np.arange(counts[idx])
                 else:
-                    enq = self._enqueue_submat_rows
-                for ji in ji_in_s:
-                    key = (ji, ji)
-                    enq(calls, self._dev_submat[key][devid], sel_off, s_idx,
-                        dstA_base, False, device)
-                    self._drop_dev_ref(key)
-                for ja, jb in combinations(ji_in_s, 2):
-                    key = (ja, jb) if ja <= jb else (jb, ja)
-                    enq(calls, self._dev_submat[key][devid], sel_off, s_idx,
-                        dstA_base, True, device)
-                    self._drop_dev_ref(key)
-            # selection-map length is a compiled shape too; the padded tail
-            # (-1 = unselected) is never indexed by any metadata row
-            sel_cat = np.concatenate(sel_parts)
-            sel_pad = self._rungs.fit("selmap", len(sel_cat), 1024)
-            selmap = put(np.pad(sel_cat, (0, sel_pad - len(sel_cat)),
+                    local[sel] = cumsum[idx] + np.arange(len(sel))
+                sel_off[(s_idx, ji)] = sc
+                slot_off[(s_idx, ji)] = int(cumsum[idx])
+                sel_parts.append(local)
+                sc += st.n_pix
+            # identity diagonal on PADDED slots only (padding convention)
+            diag[s_idx] = np.arange(n_pad) >= info["n"]
+            dstA_base = s_idx * n_pad * n_pad
+            if mode == "dus":
+                def enq(calls_, rec, selo, sidx, _dstA, sym, dev):
+                    self._enqueue_submat_dus(calls_, rec, selo, slot_off,
+                                             sidx, sym, dev)
+            elif mode == "mm":
+                enq = self._enqueue_submat_mm
+            else:
+                enq = self._enqueue_submat_rows
+            for ji in ji_in_s:
+                key = (ji, ji)
+                enq(calls, self._dev_submat[key][devid], sel_off, s_idx,
+                    dstA_base, False, device)
+                self._drop_dev_ref(key)
+            for ja, jb in combinations(ji_in_s, 2):
+                key = (ja, jb) if ja <= jb else (jb, ja)
+                enq(calls, self._dev_submat[key][devid], sel_off, s_idx,
+                    dstA_base, True, device)
+                self._drop_dev_ref(key)
+        # selection-map length is a compiled shape too; the padded tail
+        # (-1 = unselected) is never indexed by any metadata row
+        sel_cat = np.concatenate(sel_parts)
+        sel_pad = self._rungs.fit("selmap", len(sel_cat), 1024)
+        i_selmap = stage(np.pad(sel_cat, (0, sel_pad - len(sel_cat)),
                                 constant_values=-1))
+        i_diag = stage(diag)
+        asm_plan = []    # (holder, staged-meta idx, n1r, n2r, sym)
+        NC = n_pad
+        if mode in ("dus", "mm"):
             if mode == "dus":
                 margin = max([max(k[1], k[2]) for k in calls], default=8)
                 NC = n_pad + margin
-                canvas = assemble.init_A_canvas(put(diag), n_pad, NC)
-                for (hid, n1r, n2r, sym), (holder, rows) in calls.items():
-                    U = self._rungs.fit("mm_uses", len(rows), 4)
-                    uses = np.zeros((U, 7), np.int32)
-                    uses[:len(rows)] = rows
+            W = 7 if mode == "dus" else 5
+            for (hid, n1r, n2r, sym), (holder, rows) in calls.items():
+                U = self._rungs.fit("mm_uses", len(rows), 4)
+                uses = np.zeros((U, W), np.int32)
+                uses[:len(rows)] = rows
+                asm_plan.append((holder, stage(uses), n1r, n2r, sym))
+        else:
+            for (hid, sym), (holder, rows) in calls.items():
+                R = _scan_pad(len(rows))
+                meta = np.zeros((R, 7), np.int32)
+                meta[:len(rows)] = rows
+                asm_plan.append((holder, stage(meta), 0, 0, sym))
+
+        # ---- solve inputs (host) -------------------------------------------
+        data = np.zeros((S, cfg.n_inframe, n_pad), dtype=np.float32)
+        onehot = np.zeros((S, n_pad, self.n_inimage), dtype=np.float32)
+        for s_idx, (_j, _i, info) in enumerate(infos):
+            n = info["n"]
+            data[s_idx, :, :n] = np.concatenate(info["datas"], axis=1)
+            inimg = (np.concatenate(info["imgs"]) if n
+                     else np.zeros(0, np.int32))
+            onehot[s_idx, np.arange(n), inimg] = 1.0
+        if solver == "iterative":
+            # acceptance-radius mask from the stamp coordinates
+            # (reference lakernel.py:614-620); padded slots sit at the
+            # 1e6 sentinel and never pass
+            rel_np = np.zeros((S, m, n_pad), dtype=bool)
+            for s_idx, (_j, _i, info) in enumerate(infos):
+                n = info["n"]
+                ix = np.full(n_pad, 1e6)
+                iy = np.full(n_pad, 1e6)
+                ix[:n] = np.concatenate(info["xs"])
+                iy[:n] = np.concatenate(info["ys"])
+                rel_np[s_idx] = (np.hypot(
+                    info["out_y"][:, None] - iy[None, :],
+                    info["out_x"][:, None] - ix[None, :])
+                    < info["rho_acc"])
+        else:
+            rel_np = np.zeros((S, 1, 1), dtype=bool)
+        if not defer_solve:
+            i_data = stage(data)
+            i_onehot = stage(onehot)
+            i_rel = stage(rel_np)
+        _plan2.__exit__(None, None, None)
+
+        # ---- THE upload: one batched RPC for the whole group ---------------
+        with _phase("stamp.upload"):
+            res = jax.device_put(staged, device)
+
+        # ---- dispatch: fused sweep, ONE compiled scan per bucket size ------
+        with _phase("stamp.scatter"):
+            combined = self._group_combined_stack(stacks, dt, device)
+            xt_d, yt_d = res[i_xt], res[i_yt]
+            if use_v2:
+                v2_tabs = [res[i] for i in i_v2tabs]
+            pool_holder["arr"] = assemble.zeros_on(max(pool_alloc, 1), dt,
+                                                   device)
+            Bflat = assemble.zeros_on(max(len(infos) * nBflat, 1), dt, device)
+            for ent in sweep_plan:
+                if ent[0] == "pool":
+                    _, bucket, ia, ib, ic = ent
+                    pool_holder["arr"] = assemble.sweep_pool_scan(
+                        pool_holder["arr"], combined, *v2_tabs,
+                        res[ia], res[ib], res[ic],
+                        1.0 / geom.dscale, off_grid, bucket, kern)
+                elif ent[0] == "b":
+                    _, bucket, ia, ib, ic = ent
+                    Bflat = assemble.sweep_b_scan(
+                        Bflat, combined, xt_d, yt_d,
+                        res[ia], res[ib], res[ic],
+                        1.0 / geom.dscale, off_grid, bucket, kern,
+                        n_pad, m)
+                else:
+                    _, bucket, ia, ib, ic, ie = ent
+                    pool_holder["arr"], Bflat = assemble.sweep_scatter_scan(
+                        pool_holder["arr"], Bflat, combined, xt_d, yt_d,
+                        res[ia], res[ib], res[ic], res[ie],
+                        1.0 / geom.dscale, off_grid, bucket, kern, n_pad, m)
+            if fp_plan is not None:
+                pool_holder["arr"] = assemble.scatter_pool_constant(
+                    pool_holder["arr"], res[fp_plan[0]], res[fp_plan[1]], CH)
+            _sync((pool_holder["arr"], Bflat))
+
+        # the sweep dispatch holds its own references to the overlap stacks;
+        # release the bookkeeping references for the fresh submatrices
+        for key, (base, n1s, n2s, n1r, n2r, jA, jB, okey, seam) in \
+                fresh.items():
+            self._release_ii_overlap(*okey)
+
+        # ---- group A assembly dispatch -------------------------------------
+        with _phase("stamp.assembleA"):
+            selmap = res[i_selmap]
+            if mode == "dus":
+                canvas = assemble.init_A_canvas(res[i_diag], n_pad, NC)
+                for holder, i_uses, n1r, n2r, sym in asm_plan:
                     canvas = assemble.pool_to_A_dus(
-                        canvas, holder["arr"], put(uses), selmap,
+                        canvas, holder["arr"], res[i_uses], selmap,
                         n1r, n2r, NC, sym)
                 A_flat = assemble.canvas_to_A(canvas, n_pad)
                 del canvas
             elif mode == "mm":
-                A_flat = assemble.init_A_batch(put(diag), n_pad)
-                for (hid, n1r, n2r, sym), (holder, rows) in calls.items():
-                    U = self._rungs.fit("mm_uses", len(rows), 4)
-                    uses = np.zeros((U, 5), np.int32)
-                    uses[:len(rows)] = rows
+                A_flat = assemble.init_A_batch(res[i_diag], n_pad)
+                for holder, i_uses, n1r, n2r, sym in asm_plan:
                     A_flat = assemble.pool_to_A_mm(
-                        A_flat, holder["arr"], put(uses), selmap,
+                        A_flat, holder["arr"], res[i_uses], selmap,
                         n1r, n2r, n_pad, sym)
             else:
-                A_flat = assemble.init_A_batch(put(diag), n_pad)
-                for (hid, sym), (holder, rows) in calls.items():
+                A_flat = assemble.init_A_batch(res[i_diag], n_pad)
+                for holder, i_meta, _n1r, _n2r, sym in asm_plan:
                     fn = (assemble.pool_to_A_sym if sym
                           else assemble.pool_to_A)
-                    R = _scan_pad(len(rows))
-                    meta = np.zeros((R, 7), np.int32)
-                    meta[:len(rows)] = rows
-                    A_flat = fn(A_flat, holder["arr"], put(meta), selmap,
+                    A_flat = fn(A_flat, holder["arr"], res[i_meta], selmap,
                                 CH, n_pad)
             _sync(A_flat)
 
         # ---- batched solve + coadd: one dispatch for the whole group -------
         with _phase("stamp.solve"):
-            data = np.zeros((S, cfg.n_inframe, n_pad), dtype=np.float32)
-            onehot = np.zeros((S, n_pad, self.n_inimage), dtype=np.float32)
-            for s_idx, (_j, _i, info) in enumerate(infos):
-                n = info["n"]
-                data[s_idx, :, :n] = np.concatenate(info["datas"], axis=1)
-                inimg = (np.concatenate(info["imgs"]) if n
-                         else np.zeros(0, np.int32))
-                onehot[s_idx, np.arange(n), inimg] = 1.0
-            if solver == "iterative":
-                # acceptance-radius mask from the stamp coordinates
-                # (reference lakernel.py:614-620); padded slots sit at the
-                # 1e6 sentinel and never pass
-                rel_np = np.zeros((S, m, n_pad), dtype=bool)
-                for s_idx, (_j, _i, info) in enumerate(infos):
-                    n = info["n"]
-                    ix = np.full(n_pad, 1e6)
-                    iy = np.full(n_pad, 1e6)
-                    ix[:n] = np.concatenate(info["xs"])
-                    iy[:n] = np.concatenate(info["ys"])
-                    rel_np[s_idx] = (np.hypot(
-                        info["out_y"][:, None] - iy[None, :],
-                        info["out_x"][:, None] - ix[None, :])
-                        < info["rho_acc"])
-            else:
-                rel_np = np.zeros((S, 1, 1), dtype=bool)
             if defer_solve:
                 return (infos, dict(
                     A=A_flat.reshape(S, n_pad, n_pad),
                     B=Bflat.reshape(S, n_out, m, n_pad),
                     data=data, onehot=onehot, rel=rel_np,
                     n_pad=n_pad, S=S, solver=solver, device=device))
-            fade = put(np.asarray(self._fade_vec(), dtype=dt_np))
+            fade, kappaC, C = self._solve_consts(devid, device, dt_np)
             exact_UC = len(cfg.kappaC_arr) > 1
-            kappaC = put(np.asarray(cfg.kappaC_arr, dtype=np.float64))
-            C = put(np.asarray(self.outovlc, dtype=np.float64))
             out = assemble.solve_finalize_batch(
                 A_flat.reshape(S, n_pad, n_pad),
                 Bflat.reshape(S, n_out, m, n_pad),
-                C, kappaC, put(data), put(onehot), fade, put(rel_np),
+                C, kappaC, res[i_data], res[i_onehot], fade, res[i_rel],
                 cfg.uctarget, cfg.sigmamax, cfg.iter_rtol,
                 n2 * n2, solver, exact_UC, cfg.iter_max)
             _sync(out)
         return [(infos, out, 0, zeros)]
+
+    def _solve_consts(self, devid, device, dt_np):
+        """Per-device cache of the block-constant solve inputs.
+
+        fade / kappaC / C are identical for every group of a block; the
+        reference re-derives them per postage stamp on the host
+        (lakernel.py:250-262) but over the relay each re-upload is a
+        full RPC, so they are shipped once per device and reused."""
+        import jax
+
+        cache = getattr(self, "_const_cache", None)
+        if cache is None:
+            cache = self._const_cache = {}
+        key = (devid, str(dt_np))
+        ent = cache.get(key)
+        if ent is None:
+            tree = [np.asarray(self._fade_vec(), dtype=dt_np),
+                    np.asarray(self.cfg.kappaC_arr, dtype=np.float64),
+                    np.asarray(self.outovlc, dtype=np.float64)]
+            ent = cache[key] = jax.device_put(tree, device)
+        return ent
 
     def _group_combined_stack(self, stacks, dt, device):
         """Concatenate the group's overlap stacks on `device`.
