@@ -60,7 +60,8 @@ def main():
                 else ".jax_cache_tpu")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    sys.path.insert(0, str(REPO / "tests"))
+    sys.path.insert(0, str(REPO))       # `python scripts/...` puts scripts/
+    sys.path.insert(0, str(REPO / "tests"))  # (not the repo root) on sys.path
     from survey_fixture import SC, SDEC, SIG_OUT, SRA, build_survey
 
     from pyimcom_tpu.config import Config
@@ -108,8 +109,13 @@ def main():
                 header=Header(f[0].header))]))
 
     # ---- stage 1: destripe (device-resident cost/gradient) ----------------
+    destripe_backend = backend
     with stage("destripe"):
-        os.environ["PYIMCOM_DESTRIPE_DEVICE"] = "1"
+        # honor a pre-set =0 (a prior run's compile-helper failure is
+        # deterministic; skip the ~15-min doomed compile attempt)
+        os.environ.setdefault("PYIMCOM_DESTRIPE_DEVICE", "1")
+        if os.environ["PYIMCOM_DESTRIPE_DEVICE"] == "0":
+            destripe_backend = "cpu-fallback"
         from pyimcom_tpu import imdestripe
 
         dsdir = str(work / "ds")
@@ -119,8 +125,21 @@ def main():
         cfgfile = str(work / "cfg_pipe.json")
         with open(cfgfile, "w") as f:
             json.dump(d, f)
-        imdestripe.main(Config(cfgfile), maxiter=args.maxiter,
-                        add_objmask=False, use_wcs_gain=False)
+        try:
+            imdestripe.main(Config(cfgfile), maxiter=args.maxiter,
+                            add_objmask=False, use_wcs_gain=False)
+        except Exception as e:  # noqa: BLE001 - relay compile failures
+            # the axon relay's compile helper cannot build the full
+            # 12-exposure 4088^2 gradient program (HTTP 500 / HBM report);
+            # fall back to the host cost/gradient (native C++ bilinear
+            # twins) so the chain still completes -- recorded in the
+            # artifact as destripe_backend
+            print(f"[pipeline] device destripe failed ({type(e).__name__});"
+                  f" falling back to host path", flush=True)
+            os.environ["PYIMCOM_DESTRIPE_DEVICE"] = "0"
+            destripe_backend = "cpu-fallback"
+            imdestripe.main(Config(cfgfile), maxiter=args.maxiter,
+                            add_objmask=False, use_wcs_gain=False)
         # feed the destriped exposures back under the original L2 names
         pat = re.compile(r"(\w\d+)_(\d+)_(\d+)")
         for p in raw:
@@ -197,6 +216,7 @@ def main():
                  f"{args.inpad}\")->halo->compress->report on {backend}"),
         "stages_s": stages,
         "backend": backend,
+        "destripe_backend": destripe_backend,
         "star_SL1": round(SL1, 6),
         "star_VAR": float(f"{VAR:.3g}"),
         "UC_median": float(f"{uc_med:.3g}"),
